@@ -1,0 +1,237 @@
+"""Typed configuration for the whole framework.
+
+One dataclass covers the *union* of the knob sets found across the reference's
+five versions (reference ``config.py:1-54``, ``V3.1/config.py:1-77``,
+``previous/V2-convbase/config.py``, ``example.py:46-89``), replacing its
+edit-the-file Python-class-constant pattern with a single typed schema plus
+JSON-file and ``key=value`` CLI overrides.
+
+Unlike the reference there is exactly one config type; version-specific
+behaviors (deep supervision, focal loss, weighted sampling, SWA, ...) are
+flags on it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Mapping, Sequence
+
+
+@dataclass
+class Config:
+    # ------------------------------------------------------------------ data
+    train_dir: str = "data/train"
+    test_dir: str = "data/test"
+    train_csv: str = "data/train.csv"
+    test_csv: str = "data/sample_submission.csv"
+    submission_path: str = "submission.csv"
+    num_classes: int = 44
+    # Native on-disk image size (H, W). The dataset is 60x80 JPEGs
+    # (reference `progress.md:8`); host IO produces fixed-size uint8 batches
+    # at this size and *all* resizing happens on device.
+    native_size: tuple[int, int] = (60, 80)
+    # Model input size (H, W)  (reference `config.py:11`).
+    image_size: tuple[int, int] = (260, 260)
+    cache_dir: str = ".ic_tpu_cache"
+    use_decode_cache: bool = True  # memmap uint8 cache of decoded images
+
+    # -------------------------------------------------------- augmentation
+    # Geometric (reference `dataset.py:196-210`)
+    rrc_scale: tuple[float, float] = (0.8, 1.0)  # RandomResizedCrop area frac
+    rrc_ratio: tuple[float, float] = (0.75, 4.0 / 3.0)
+    hflip_prob: float = 0.5
+    vflip_prob: float = 0.5
+    ssr_prob: float = 0.5          # ShiftScaleRotate
+    shift_limit: float = 0.1
+    scale_limit: float = 0.2
+    rotate_limit: float = 30.0
+    # Noise / blur OneOf  (reference `dataset.py:201-205`)
+    noise_blur_prob: float = 0.3
+    gauss_noise_var: tuple[float, float] = (10.0, 50.0)
+    blur_limit: tuple[int, int] = (3, 7)
+    # Distortion OneOf  (reference `dataset.py:206-210`)
+    distortion_prob: float = 0.3
+    optical_distort_limit: float = 0.1
+    optical_shift_limit: float = 0.1
+    grid_distort_limit: float = 0.1
+    grid_num_steps: int = 5
+    elastic_alpha: float = 1.0
+    elastic_sigma: float = 50.0
+    # Color  (reference `dataset.py:211-216`)
+    color_jitter_prob: float = 0.5
+    brightness: float = 0.2
+    contrast: float = 0.2
+    saturation: float = 0.2
+    hue: float = 0.1
+    color_shift_prob: float = 0.3  # OneOf {RGBShift, HSV, ToGray}
+    rgb_shift_limit: float = 20.0
+    hsv_hue_limit: float = 20.0
+    hsv_sat_limit: float = 30.0
+    hsv_val_limit: float = 20.0
+    # CoarseDropout / random erasing  (reference `config.py:15`,
+    # `dataset.py:219-230`)
+    random_erasing_prob: float = 0.3
+    erase_max_holes: int = 8
+    erase_min_holes: int = 1
+    # MixUp / CutMix  (reference `config.py:16-17`, `dataset.py:70-190`)
+    mixup_alpha: float = 0.2
+    cutmix_alpha: float = 1.0
+    mix_prob: float = 0.5
+    # Normalization. ImageNet stats by default (reference `dataset.py:233-236`);
+    # the notebook pipeline used dataset-computed stats (`example.py:134-135`).
+    mean: tuple[float, float, float] = (0.485, 0.456, 0.406)
+    std: tuple[float, float, float] = (0.229, 0.224, 0.225)
+
+    # --------------------------------------------------------------- model
+    model_name: str = "convnext_base"
+    pretrained: bool = False
+    # Path to a local torch-format (or .safetensors) checkpoint to import.
+    # There is no network download path; weight import is file based.
+    pretrained_path: str | None = None
+    use_deep_supervision: bool = True   # reference `config.py:22`
+    aux_weight: float = 0.4             # reference `config.py:23`
+    drop_rate: float = 0.0              # reference `V3.1/config.py:72`
+    drop_path_rate: float = 0.0         # reference `V3.1/config.py:73`
+    freeze_stages: int = 0              # reference `V3.1/...:399-403`
+    ensemble_models: tuple[str, ...] = ()  # reference `previous/V2-convbase/config.py:46-51`
+    ensemble_weights: tuple[float, ...] = ()
+
+    # ------------------------------------------------------------- training
+    batch_size: int = 32
+    val_batch_multiplier: int = 2       # reference `train_advanced_v4.py:618`
+    epochs: int = 20
+    num_folds: int = 3
+    fold_seed: int = 42                 # reference `train_advanced_v4.py:572`
+    patience: int = 4
+    label_smoothing: float = 0.1
+    seed: int = 42
+
+    # ------------------------------------------------------------ optimizer
+    optimizer: str = "adamw"
+    lr: float = 1e-4
+    weight_decay: float = 1e-2
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    adam_eps: float = 1e-8
+    gradient_accumulation_steps: int = 2
+    gradient_clip_val: float = 1.0
+    # The reference's AMP path accumulates *unscaled* (summed) microbatch
+    # gradients (`train_advanced_v4.py:223-244`), while its non-AMP path
+    # divides by the accumulation count. AMP was on in the published runs, so
+    # "sum" is the parity default; "mean" is the corrected semantics.
+    grad_accum_reduction: str = "sum"
+
+    # -------------------------------------------------------------- schedule
+    schedule: str = "warmup_cosine"     # warmup_cosine | plateau | none
+    use_cosine_schedule: bool = True
+    warmup_ratio: float = 0.1
+    min_lr: float = 1e-6  # multiplier floor, see train/schedule.py quirk note
+    # The reference sizes the cosine horizon in *microbatches* but advances
+    # the schedule only once per optimizer step (every
+    # `gradient_accumulation_steps` microbatches), so training ends mid-cosine
+    # (`train_advanced_v4.py:628-634` vs `:233-234`). "microbatches" is the
+    # parity behavior; "steps" is the corrected one.
+    schedule_horizon: str = "microbatches"
+    plateau_factor: float = 0.1         # reference `previous/V1-effb0/train.py:203-206`
+    plateau_patience: int = 3
+
+    # --------------------------------------------------------- advanced train
+    compute_dtype: str = "bfloat16"     # replaces AMP fp16+GradScaler
+    use_ema: bool = True
+    ema_decay: float = 0.9997
+    use_swa: bool = False               # reference `previous/V3-efb2/...:445-507`
+    swa_start_epoch: int = 10
+    swa_lr: float = 1e-5
+
+    # ------------------------------------------------------------- imbalance
+    use_sampler: bool = False           # reference `V3.1/config.py:50`
+    use_weighted_loss: bool = False     # reference `V3.1/config.py:51`
+    use_focal_loss: bool = False        # reference `V3.1/config.py:52`
+    focal_gamma: float = 2.0
+    oversample_min_samples: int = 0     # 0 = off; reference `train_advanced_v4.py:527-560`
+
+    # ------------------------------------------------------------- inference
+    tta_transforms: int = 4             # 0 = plain softmax
+    tta_mode: str = "scale4"            # scale4 (v4) | flip6 (example.py)
+
+    # ---------------------------------------------------------------- system
+    mesh_data: int = -1                 # -1: all remaining devices
+    mesh_model: int = 1
+    prefetch_depth: int = 2
+    log_interval: int = 100
+    model_save_path: str = "models_out"
+    output_dir: str = "output"
+    profile_dir: str | None = None
+    debug_nans: bool = False
+
+    # ------------------------------------------------------------------ api
+    def replace(self, **kwargs: Any) -> "Config":
+        return dataclasses.replace(self, **kwargs)
+
+    def to_dict(self) -> dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: Mapping[str, Any]) -> "Config":
+        fields = {f.name: f for f in dataclasses.fields(cls)}
+        kwargs = {}
+        for k, v in d.items():
+            if k not in fields:
+                raise KeyError(f"Unknown config key: {k!r}")
+            if isinstance(v, list):
+                v = tuple(v)
+            kwargs[k] = v
+        return cls(**kwargs)
+
+    def validate(self) -> "Config":
+        if self.num_classes < 2:
+            raise ValueError("num_classes must be >= 2")
+        if self.batch_size % self.gradient_accumulation_steps != 0:
+            raise ValueError(
+                "batch_size must be divisible by gradient_accumulation_steps"
+            )
+        if self.grad_accum_reduction not in ("sum", "mean"):
+            raise ValueError("grad_accum_reduction must be 'sum' or 'mean'")
+        if self.schedule_horizon not in ("microbatches", "steps"):
+            raise ValueError("schedule_horizon must be 'microbatches' or 'steps'")
+        if self.schedule not in ("warmup_cosine", "plateau", "none"):
+            raise ValueError(f"unknown schedule {self.schedule!r}")
+        return self
+
+
+def _parse_value(raw: str) -> Any:
+    try:
+        return json.loads(raw)
+    except json.JSONDecodeError:
+        return raw
+
+
+def apply_overrides(cfg: Config, overrides: Sequence[str]) -> Config:
+    """Apply ``key=value`` CLI overrides. Values are parsed as JSON when
+    possible (so ``lr=1e-3``, ``use_ema=false``, ``image_size=[224,224]``
+    all work), else kept as strings."""
+    updates: dict[str, Any] = {}
+    for item in overrides:
+        if "=" not in item:
+            raise ValueError(f"Override must look like key=value, got {item!r}")
+        key, raw = item.split("=", 1)
+        val = _parse_value(raw)
+        if isinstance(val, list):
+            val = tuple(val)
+        updates[key.strip()] = val
+    return Config.from_dict({**cfg.to_dict(), **updates})
+
+
+def load_config(
+    path: str | None = None, overrides: Sequence[str] = ()
+) -> Config:
+    """Build a config from an optional JSON file plus CLI overrides."""
+    cfg = Config()
+    if path is not None:
+        with open(path) as f:
+            cfg = Config.from_dict({**cfg.to_dict(), **json.load(f)})
+    if overrides:
+        cfg = apply_overrides(cfg, overrides)
+    return cfg.validate()
