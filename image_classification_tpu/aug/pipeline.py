@@ -1,0 +1,130 @@
+"""The fused augmentation pipelines.
+
+``train_augment`` is the device-side replacement for the reference's entire
+albumentations Compose (`dataset.py:192-240`): it takes a *batched uint8*
+tensor straight from the loader and one PRNG key, and runs
+
+    fused geometric warp (RRC+flips+SSR+distortion, one gather)
+    -> OneOf{noise, gaussian blur, motion blur}
+    -> ColorJitter
+    -> OneOf{RGBShift, HSV, ToGray}
+    -> CoarseDropout
+    -> Normalize
+
+entirely on device as one XLA program (it is always called inside the jitted
+train step, so everything elementwise fuses). ``eval_preprocess`` is the
+val/test path: Resize + Normalize (`dataset.py:242-256`).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from image_classification_tpu.aug import color as color_ops
+from image_classification_tpu.aug import erase as erase_ops
+from image_classification_tpu.aug import filters as filter_ops
+from image_classification_tpu.aug import geometry as geom
+from image_classification_tpu.core import prng
+
+
+def aug_configs_from(cfg) -> dict:
+    """Build the per-stage static configs from the framework Config."""
+    return {
+        "geometry": geom.GeometryCfg(
+            rrc_scale=tuple(cfg.rrc_scale),
+            rrc_ratio=tuple(cfg.rrc_ratio),
+            hflip_prob=cfg.hflip_prob,
+            vflip_prob=cfg.vflip_prob,
+            ssr_prob=cfg.ssr_prob,
+            shift_limit=cfg.shift_limit,
+            scale_limit=cfg.scale_limit,
+            rotate_limit=cfg.rotate_limit,
+            distortion=geom.DistortionCfg(
+                prob=cfg.distortion_prob,
+                optical_distort_limit=cfg.optical_distort_limit,
+                optical_shift_limit=cfg.optical_shift_limit,
+                grid_distort_limit=cfg.grid_distort_limit,
+                grid_num_steps=cfg.grid_num_steps,
+                elastic_alpha=cfg.elastic_alpha,
+                elastic_sigma=cfg.elastic_sigma,
+            ),
+        ),
+        "noise_blur": filter_ops.NoiseBlurCfg(
+            prob=cfg.noise_blur_prob,
+            gauss_noise_var=tuple(cfg.gauss_noise_var),
+            blur_limit=tuple(cfg.blur_limit),
+        ),
+        "jitter": color_ops.ColorJitterCfg(
+            prob=cfg.color_jitter_prob,
+            brightness=cfg.brightness,
+            contrast=cfg.contrast,
+            saturation=cfg.saturation,
+            hue=cfg.hue,
+        ),
+        "color_shift": color_ops.ColorShiftCfg(
+            prob=cfg.color_shift_prob,
+            rgb_shift_limit=cfg.rgb_shift_limit,
+            hsv_hue_limit=cfg.hsv_hue_limit,
+            hsv_sat_limit=cfg.hsv_sat_limit,
+            hsv_val_limit=cfg.hsv_val_limit,
+        ),
+        "erase": erase_ops.EraseCfg(
+            prob=cfg.random_erasing_prob,
+            max_holes=cfg.erase_max_holes,
+            min_holes=cfg.erase_min_holes,
+        ),
+        "image_size": tuple(cfg.image_size),
+        "mean": tuple(cfg.mean),
+        "std": tuple(cfg.std),
+    }
+
+
+def normalize(
+    images: jnp.ndarray,
+    mean: tuple[float, float, float],
+    std: tuple[float, float, float],
+) -> jnp.ndarray:
+    """(x/255 - mean) / std, matching A.Normalize (`dataset.py:233-236`)."""
+    m = jnp.asarray(mean, jnp.float32) * 255.0
+    s = jnp.asarray(std, jnp.float32) * 255.0
+    return (images - m) / s
+
+
+def resize_bilinear(images: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
+    """Batched bilinear resize with half-pixel centers (cv2.resize
+    INTER_LINEAR convention)."""
+    B, _, _, C = images.shape
+    return jax.image.resize(
+        images, (B, out_hw[0], out_hw[1], C), method="linear"
+    )
+
+
+def train_augment(
+    images_u8: jnp.ndarray, key: jax.Array, aug: dict
+) -> jnp.ndarray:
+    """uint8 (B, H, W, 3) -> augmented normalized float32 (B, Ho, Wo, 3)."""
+    x = images_u8.astype(jnp.float32)
+    k_geo = prng.fold_name(key, "geometry")
+    k_nb = prng.fold_name(key, "noise_blur")
+    k_cj = prng.fold_name(key, "jitter")
+    k_cs = prng.fold_name(key, "color_shift")
+    k_er = prng.fold_name(key, "erase")
+    x = geom.geometric_augment(x, k_geo, aug["image_size"], aug["geometry"])
+    x = filter_ops.noise_blur_oneof(x, k_nb, aug["noise_blur"])
+    x = color_ops.color_jitter(x, k_cj, aug["jitter"])
+    x = color_ops.color_shift_oneof(x, k_cs, aug["color_shift"])
+    x = erase_ops.coarse_dropout(x, k_er, aug["erase"])
+    return normalize(x, aug["mean"], aug["std"])
+
+
+def eval_preprocess(
+    images_u8: jnp.ndarray,
+    image_size: tuple[int, int],
+    mean: tuple[float, float, float] = (0.485, 0.456, 0.406),
+    std: tuple[float, float, float] = (0.229, 0.224, 0.225),
+) -> jnp.ndarray:
+    """Resize + Normalize val/test path (`dataset.py:242-256`)."""
+    x = images_u8.astype(jnp.float32)
+    x = resize_bilinear(x, image_size)
+    return normalize(x, mean, std)
