@@ -1,0 +1,134 @@
+"""Command-line entry points.
+
+The reference had none (behavior was changed by editing config.py,
+SURVEY.md §5.6); here one CLI drives the whole framework:
+
+    python -m image_classification_tpu.cli train   [--config cfg.json] [k=v ...]
+    python -m image_classification_tpu.cli predict [--config cfg.json] [k=v ...]
+    python -m image_classification_tpu.cli bench   [k=v ...]
+
+``train`` mirrors `train_advanced_v4.py:main()` (`:657-719`): K-fold train,
+then ensemble-predict the test set and write the submission CSV.
+``predict`` mirrors `testdata.py:108-177`: load best fold checkpoints and
+write ``id,predict``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def _build_cfg(args):
+    from image_classification_tpu.core.config import load_config
+
+    return load_config(args.config, args.overrides)
+
+
+def cmd_train(args) -> None:
+    import jax
+
+    from image_classification_tpu.data import DataLoader, Manifest
+    from image_classification_tpu.data.sampling import SequentialSampler
+    from image_classification_tpu.infer import predict_ensemble, write_submission
+    from image_classification_tpu.parallel import MeshSpec, build_mesh
+    from image_classification_tpu.train.kfold import build_source, train_k_fold
+    from image_classification_tpu.utils.logging import setup_logging
+
+    cfg = _build_cfg(args)
+    logger = setup_logging(os.path.join(cfg.output_dir, "train.log"))
+    os.makedirs(cfg.model_save_path, exist_ok=True)
+    os.makedirs(cfg.output_dir, exist_ok=True)
+    mesh = build_mesh(MeshSpec(cfg.mesh_data, cfg.mesh_model))
+    logger.info("devices: %s, mesh: %s", jax.devices(), dict(mesh.shape))
+    if cfg.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+
+    results = train_k_fold(cfg, mesh=mesh, resume=args.resume)
+    if not results:
+        logger.error("training produced no models")
+        sys.exit(1)
+    for r in results:
+        logger.info("fold %d best val acc: %.4f", r.fold, r.best_val_acc)
+
+    # test-set ensemble prediction -> submission (train_advanced_v4.py:690-712)
+    test_manifest = Manifest.from_csv(cfg.test_csv, is_test=True)
+    test_source = build_source(cfg, test_manifest, cfg.test_dir)
+    test_loader = DataLoader(
+        test_source, test_manifest,
+        batch_size=cfg.batch_size * cfg.val_batch_multiplier,
+        sampler=SequentialSampler(len(test_manifest)), pad_last=True,
+    )
+    ids, preds, _ = predict_ensemble(
+        [r.bundle for r in results],
+        [r.best_variables for r in results],
+        test_loader, cfg,
+        weights=cfg.ensemble_weights or None,
+    )
+    write_submission(ids, preds, cfg.submission_path, column="target")
+
+
+def cmd_predict(args) -> None:
+    from image_classification_tpu.data import DataLoader, Manifest
+    from image_classification_tpu.data.sampling import SequentialSampler
+    from image_classification_tpu.infer import predict_ensemble, write_submission
+    from image_classification_tpu.models.factory import create_model
+    from image_classification_tpu.train.kfold import build_source
+    from image_classification_tpu.utils import checkpoint as ckpt
+    from image_classification_tpu.utils.logging import setup_logging
+
+    cfg = _build_cfg(args)
+    logger = setup_logging()
+    bundle = create_model(cfg)
+    import jax
+
+    variables = bundle.init(jax.random.key(0))
+    folds = args.folds or [1]
+    bundles, var_list = [], []
+    for fold in folds:
+        template = {"params": variables["params"]}
+        if "batch_stats" in variables:
+            template["batch_stats"] = variables["batch_stats"]
+        tree, meta = ckpt.load_best(cfg.model_save_path, fold, template)
+        logger.info("fold %d checkpoint: val_acc=%s", fold, meta.get("val_acc"))
+        bundles.append(bundle)
+        var_list.append(tree)
+
+    test_manifest = Manifest.from_csv(cfg.test_csv, is_test=True)
+    source = build_source(cfg, test_manifest, cfg.test_dir)
+    loader = DataLoader(
+        source, test_manifest,
+        batch_size=cfg.batch_size * cfg.val_batch_multiplier,
+        sampler=SequentialSampler(len(test_manifest)), pad_last=True,
+    )
+    ids, preds, _ = predict_ensemble(bundles, var_list, loader, cfg)
+    write_submission(ids, preds, cfg.submission_path, column="predict")
+
+
+def cmd_bench(args) -> None:
+    sys.argv = ["bench.py"]
+    import bench
+
+    bench.main()
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(prog="image_classification_tpu")
+    sub = p.add_subparsers(dest="command", required=True)
+    for name, fn in (("train", cmd_train), ("predict", cmd_predict),
+                     ("bench", cmd_bench)):
+        sp = sub.add_parser(name)
+        sp.add_argument("--config", default=None, help="JSON config file")
+        sp.add_argument("--resume", action="store_true",
+                        help="resume folds from full-state checkpoints")
+        sp.add_argument("--folds", type=int, nargs="*", default=None,
+                        help="(predict) fold checkpoints to ensemble")
+        sp.add_argument("overrides", nargs="*", help="key=value overrides")
+        sp.set_defaults(fn=fn)
+    args = p.parse_args()
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

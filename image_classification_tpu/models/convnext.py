@@ -1,0 +1,130 @@
+"""ConvNeXt family in flax.linen, NHWC, bf16-compute/f32-params.
+
+The flagship backbone: the reference trains timm's ``convnext_base``
+(`config.py:20`, created at `train_advanced_v4.py:484-502`). Architecture per
+the ConvNeXt paper: patchify stem (4x4/4 conv + LN), four stages of blocks
+(7x7 depthwise conv -> LN -> 4x MLP with exact GELU -> layer scale ->
+stochastic depth + residual), LN+2x2/2 downsample between stages, and a
+GAP -> LN -> Linear head.
+
+TPU notes: NHWC keeps C on the lane dimension so the 1x1 MLP matmuls hit the
+MXU directly; the depthwise 7x7 runs on the VPU. Depths/dims tables match
+timm so pretrained checkpoints import 1:1 (see ``pretrained.py``).
+
+``__call__(..., return_features=True)`` additionally returns the outputs of
+stages 2..4 for the deep-supervision wrapper (`train_advanced_v4.py:126-151`
+captures exactly those).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from image_classification_tpu.models.layers import (
+    DropPath,
+    drop_path_rates,
+    gelu_exact,
+    global_avg_pool,
+)
+
+# name -> (depths, dims); aligned with timm model names
+CONVNEXT_CONFIGS: dict[str, tuple[tuple[int, ...], tuple[int, ...]]] = {
+    "convnext_atto": ((2, 2, 6, 2), (40, 80, 160, 320)),
+    "convnext_femto": ((2, 2, 6, 2), (48, 96, 192, 384)),
+    "convnext_pico": ((2, 2, 6, 2), (64, 128, 256, 512)),
+    "convnext_nano": ((2, 2, 8, 2), (80, 160, 320, 640)),
+    "convnext_tiny": ((3, 3, 9, 3), (96, 192, 384, 768)),
+    "convnext_small": ((3, 3, 27, 3), (96, 192, 384, 768)),
+    "convnext_base": ((3, 3, 27, 3), (128, 256, 512, 1024)),
+    "convnext_large": ((3, 3, 27, 3), (192, 384, 768, 1536)),
+    "convnext_xlarge": ((3, 3, 27, 3), (256, 512, 1024, 2048)),
+}
+
+
+class ConvNeXtBlock(nn.Module):
+    dim: int
+    drop_path: float = 0.0
+    layer_scale_init: float = 1e-6
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        shortcut = x
+        x = nn.Conv(
+            self.dim, (7, 7), feature_group_count=self.dim,
+            dtype=self.dtype, name="conv_dw",
+        )(x)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        x = nn.Dense(4 * self.dim, dtype=self.dtype, name="mlp_fc1")(x)
+        x = gelu_exact(x)
+        x = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(x)
+        gamma = self.param(
+            "gamma", nn.initializers.constant(self.layer_scale_init), (self.dim,)
+        )
+        x = x * gamma.astype(self.dtype)
+        x = DropPath(self.drop_path)(x, deterministic)
+        return shortcut + x
+
+
+class ConvNeXt(nn.Module):
+    num_classes: int = 44
+    depths: tuple[int, ...] = (3, 3, 27, 3)
+    dims: tuple[int, ...] = (128, 256, 512, 1024)
+    drop_path_rate: float = 0.0
+    drop_rate: float = 0.0
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        deterministic: bool = True,
+        return_features: bool = False,
+    ):
+        x = x.astype(self.dtype)
+        x = nn.Conv(self.dims[0], (4, 4), strides=(4, 4), dtype=self.dtype,
+                    name="stem_conv")(x)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="stem_norm")(x)
+        dp = drop_path_rates(self.drop_path_rate, self.depths)
+        features = []
+        for i, (depth, dim) in enumerate(zip(self.depths, self.dims)):
+            if i > 0:
+                x = nn.LayerNorm(
+                    epsilon=1e-6, dtype=self.dtype, name=f"downsample{i}_norm"
+                )(x)
+                x = nn.Conv(
+                    dim, (2, 2), strides=(2, 2), dtype=self.dtype,
+                    name=f"downsample{i}_conv",
+                )(x)
+            for j in range(depth):
+                x = ConvNeXtBlock(
+                    dim, drop_path=dp[i][j], dtype=self.dtype,
+                    name=f"stage{i}_block{j}",
+                )(x, deterministic)
+            if i > 0:
+                features.append(x)  # stages 2..4, as the reference captures
+        x = global_avg_pool(x)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="head_norm")(x)
+        if self.drop_rate > 0:
+            x = nn.Dropout(self.drop_rate)(x, deterministic=deterministic)
+        logits = nn.Dense(self.num_classes, dtype=jnp.float32, name="head_fc")(x)
+        if return_features:
+            return logits, features
+        return logits
+
+    @property
+    def feature_dims(self) -> tuple[int, ...]:
+        return tuple(self.dims[1:])
+
+
+def build_convnext(name: str, num_classes: int, **kwargs) -> ConvNeXt:
+    base = name.split(".")[0]
+    for suffix in ("_in22k", "_in1k", "_384"):
+        base = base.replace(suffix, "")
+    if base not in CONVNEXT_CONFIGS:
+        raise ValueError(f"Unknown ConvNeXt variant: {name}")
+    depths, dims = CONVNEXT_CONFIGS[base]
+    return ConvNeXt(num_classes=num_classes, depths=depths, dims=dims, **kwargs)

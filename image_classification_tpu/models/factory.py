@@ -1,0 +1,133 @@
+"""Model factory: the framework's ``create_model``.
+
+Replaces ``timm.create_model(name, pretrained, num_classes)`` +
+DeepSupervisionModel wrapping (`train_advanced_v4.py:484-502`). Names match
+timm's so reference configs port verbatim ('convnext_base',
+'tf_efficientnetv2_s_in21ft1k', 'vit_base_patch16_224.augreg_in21k', ...).
+
+Pretrained weights load from *local* torch/safetensors checkpoints via
+``models.pretrained`` (there is no download path); missing files degrade to
+random init with a warning, matching the reference's hub-download fallback
+(`previous/V3-efb2/train_advanced_v3.0.py:337-348`).
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from image_classification_tpu.models.convnext import CONVNEXT_CONFIGS, build_convnext
+from image_classification_tpu.models.deep_supervision import DeepSupervisionModel
+from image_classification_tpu.models.efficientnet import (
+    EFFNET_V1_SCALING,
+    build_efficientnet,
+)
+from image_classification_tpu.models.vit import VIT_CONFIGS, build_vit
+
+logger = logging.getLogger("ic_tpu")
+
+
+def _family(name: str) -> str:
+    base = name.split(".")[0]
+    if "convnext" in base:
+        return "convnext"
+    if "efficientnet" in base:
+        return "efficientnet"
+    if base.startswith(("vit_", "deit_")):
+        return "vit"
+    raise ValueError(f"Unknown model family for {name!r}")
+
+
+def list_models() -> list[str]:
+    return (
+        sorted(CONVNEXT_CONFIGS)
+        + sorted(EFFNET_V1_SCALING)
+        + ["tf_efficientnetv2_s"]
+        + sorted(VIT_CONFIGS)
+    )
+
+
+@dataclass
+class ModelBundle:
+    """A constructed model plus everything the trainer needs to drive it."""
+
+    name: str
+    module: nn.Module
+    deep_supervised: bool
+    has_batch_stats: bool
+    input_size: tuple[int, int]
+
+    def init(self, rng: jax.Array, batch_size: int = 1) -> dict:
+        x = jnp.zeros((batch_size, *self.input_size, 3), jnp.float32)
+        return self.module.init({"params": rng, "dropout": rng}, x)
+
+    def apply(
+        self,
+        variables: dict,
+        x: jnp.ndarray,
+        deterministic: bool = True,
+        rngs: dict | None = None,
+        mutable: Any = False,
+    ):
+        return self.module.apply(
+            variables, x, deterministic=deterministic,
+            rngs=rngs, mutable=mutable,
+        )
+
+
+def create_model(cfg, model_name: str | None = None) -> ModelBundle:
+    """Build a model from the framework Config (or an explicit name, for
+    multi-architecture ensembles — `previous/V2-convbase/config.py:46-51`)."""
+    name = model_name or cfg.model_name
+    family = _family(name)
+    kwargs: dict[str, Any] = dict(
+        drop_rate=cfg.drop_rate, drop_path_rate=cfg.drop_path_rate
+    )
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    kwargs["dtype"] = dtype
+    if family == "convnext":
+        backbone = build_convnext(name, cfg.num_classes, **kwargs)
+    elif family == "efficientnet":
+        backbone = build_efficientnet(name, cfg.num_classes, **kwargs)
+    else:
+        backbone = build_vit(name, cfg.num_classes, **kwargs)
+
+    deep = bool(cfg.use_deep_supervision)
+    module: nn.Module = (
+        DeepSupervisionModel(backbone=backbone, num_classes=cfg.num_classes)
+        if deep
+        else backbone
+    )
+    return ModelBundle(
+        name=name,
+        module=module,
+        deep_supervised=deep,
+        has_batch_stats=(family == "efficientnet"),
+        input_size=tuple(cfg.image_size),
+    )
+
+
+def load_pretrained_into(bundle: ModelBundle, variables: dict, cfg) -> dict:
+    """Import a local torch checkpoint into freshly-initialized variables.
+    Falls back to random init when no checkpoint is configured/found."""
+    if not cfg.pretrained:
+        return variables
+    path = cfg.pretrained_path
+    if not path:
+        logger.warning(
+            "pretrained=True but no pretrained_path set; using random init "
+            "(no network download path exists)."
+        )
+        return variables
+    from image_classification_tpu.models import pretrained as P
+
+    try:
+        return P.load_checkpoint_into_variables(path, variables, bundle.name)
+    except FileNotFoundError:
+        logger.warning("pretrained checkpoint %s not found; random init", path)
+        return variables

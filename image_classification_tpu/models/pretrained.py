@@ -1,0 +1,271 @@
+"""Local checkpoint import: timm/torch state dicts -> flax parameter trees.
+
+Replaces the reference's pretrained-weight path. Since no download path
+exists, weights come from *files* (``.pth``/``.pt`` via torch, or
+``.safetensors``), exactly like the reference's local-weights flow
+(`V3.2/train.py:88-114`): unwrap nested ``model_state_dict``/``state_dict``
+(`testdata.py:152-155`), remap keys per-architecture, drop classifier keys
+whose shapes do not match the target (``strict=False`` + classifier-strip
+semantics, `V3.1/train_advanced_v3.2.py:363-396`).
+
+Supported mappings: ConvNeXt (timm naming), ViT/DeiT (timm naming).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import re
+from typing import Callable
+
+import jax.numpy as jnp
+import numpy as np
+
+logger = logging.getLogger("ic_tpu")
+
+
+# --------------------------------------------------------------------------
+# raw state-dict loading
+# --------------------------------------------------------------------------
+
+def load_state_dict(path: str) -> dict[str, np.ndarray]:
+    if not os.path.exists(path):
+        raise FileNotFoundError(path)
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        return dict(load_file(path))
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    for wrap in ("model_state_dict", "state_dict", "model"):
+        if isinstance(obj, dict) and wrap in obj and isinstance(obj[wrap], dict):
+            obj = obj[wrap]
+    return {k: np.asarray(v.detach().numpy() if hasattr(v, "detach") else v)
+            for k, v in obj.items()}
+
+
+def _t_conv(w: np.ndarray) -> np.ndarray:
+    """torch OIHW -> flax HWIO (also correct for depthwise (C,1,kh,kw))."""
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def _t_linear(w: np.ndarray) -> np.ndarray:
+    """torch (out, in) -> flax (in, out)."""
+    return np.transpose(w, (1, 0))
+
+
+# --------------------------------------------------------------------------
+# ConvNeXt: timm keys -> our flax tree
+# --------------------------------------------------------------------------
+
+def convnext_key_map(torch_keys: list[str]) -> dict[str, tuple[tuple[str, ...], Callable]]:
+    """Map each timm ConvNeXt tensor to (flax path, converter)."""
+    out: dict[str, tuple[tuple[str, ...], Callable]] = {}
+    for k in torch_keys:
+        m: tuple[tuple[str, ...], Callable] | None = None
+        if k == "stem.0.weight":
+            m = (("stem_conv", "kernel"), _t_conv)
+        elif k == "stem.0.bias":
+            m = (("stem_conv", "bias"), lambda x: x)
+        elif k == "stem.1.weight":
+            m = (("stem_norm", "scale"), lambda x: x)
+        elif k == "stem.1.bias":
+            m = (("stem_norm", "bias"), lambda x: x)
+        elif k == "head.norm.weight":
+            m = (("head_norm", "scale"), lambda x: x)
+        elif k == "head.norm.bias":
+            m = (("head_norm", "bias"), lambda x: x)
+        elif k == "head.fc.weight":
+            m = (("head_fc", "kernel"), _t_linear)
+        elif k == "head.fc.bias":
+            m = (("head_fc", "bias"), lambda x: x)
+        else:
+            ds = re.match(r"stages\.(\d+)\.downsample\.(\d+)\.(weight|bias)$", k)
+            blk = re.match(
+                r"stages\.(\d+)\.blocks\.(\d+)\.([\w.]+)\.(weight|bias)$", k
+            )
+            gamma = re.match(r"stages\.(\d+)\.blocks\.(\d+)\.gamma$", k)
+            if ds:
+                i, which, wb = int(ds.group(1)), int(ds.group(2)), ds.group(3)
+                if which == 0:
+                    m = ((f"downsample{i}_norm", "scale" if wb == "weight" else "bias"),
+                         lambda x: x)
+                else:
+                    m = ((f"downsample{i}_conv", "kernel" if wb == "weight" else "bias"),
+                         _t_conv if wb == "weight" else (lambda x: x))
+            elif gamma:
+                i, j = int(gamma.group(1)), int(gamma.group(2))
+                m = ((f"stage{i}_block{j}", "gamma"), lambda x: x)
+            elif blk:
+                i, j, inner, wb = (
+                    int(blk.group(1)), int(blk.group(2)), blk.group(3), blk.group(4),
+                )
+                inner_map = {
+                    "conv_dw": ("conv_dw", _t_conv, "kernel"),
+                    "dwconv": ("conv_dw", _t_conv, "kernel"),
+                    "norm": ("norm", lambda x: x, "scale"),
+                    "mlp.fc1": ("mlp_fc1", _t_linear, "kernel"),
+                    "mlp.fc2": ("mlp_fc2", _t_linear, "kernel"),
+                }
+                if inner in inner_map:
+                    mod, conv, wname = inner_map[inner]
+                    if wb == "weight":
+                        m = ((f"stage{i}_block{j}", mod, wname), conv)
+                    else:
+                        m = ((f"stage{i}_block{j}", mod, "bias"), lambda x: x)
+        if m is not None:
+            # nest block-level paths one deeper
+            path, conv = m
+            if path[0].startswith("stage") and len(path) == 3:
+                pass
+            out[k] = (path, conv)
+    return out
+
+
+# --------------------------------------------------------------------------
+# ViT / DeiT: timm keys -> our flax tree (splits fused qkv)
+# --------------------------------------------------------------------------
+
+def import_vit(sd: dict[str, np.ndarray], params: dict) -> tuple[dict, int]:
+    """In-place-style import into a copied ViT params tree; returns
+    (new params, n loaded)."""
+    import copy
+
+    new = copy.deepcopy(params)
+    n = 0
+
+    def put(path: tuple[str, ...], val: np.ndarray) -> bool:
+        node = new
+        for p in path[:-1]:
+            if p not in node:
+                return False
+            node = node[p]
+        leaf = path[-1]
+        if leaf not in node:
+            return False
+        if tuple(node[leaf].shape) != tuple(val.shape):
+            logger.warning("skip %s: shape %s vs %s", "/".join(path),
+                           node[leaf].shape, val.shape)
+            return False
+        node[leaf] = jnp.asarray(val, dtype=node[leaf].dtype)
+        return True
+
+    simple = {
+        "cls_token": ("cls_token",),
+        "pos_embed": ("pos_embed",),
+        "patch_embed.proj.weight": ("patch_embed", "kernel"),
+        "patch_embed.proj.bias": ("patch_embed", "bias"),
+        "norm.weight": ("norm", "scale"),
+        "norm.bias": ("norm", "bias"),
+        "head.weight": ("head", "kernel"),
+        "head.bias": ("head", "bias"),
+    }
+    for k, v in sd.items():
+        if k in simple:
+            val = v
+            if k.endswith("proj.weight"):
+                val = _t_conv(v)
+            elif k == "head.weight":
+                val = _t_linear(v)
+            n += put(simple[k], val)
+            continue
+        m = re.match(r"blocks\.(\d+)\.(.+)$", k)
+        if not m:
+            continue
+        i, rest = int(m.group(1)), m.group(2)
+        blk = f"block{i}"
+        if rest == "attn.qkv.weight":
+            dim = v.shape[1]
+            heads = new[blk]["attn"]["query"]["kernel"].shape[1]
+            hd = dim // heads
+            q, kk, vv = np.split(_t_linear(v), 3, axis=1)  # (in, dim) each
+            for name, mat in (("query", q), ("key", kk), ("value", vv)):
+                n += put((blk, "attn", name, "kernel"),
+                         mat.reshape(dim, heads, hd))
+        elif rest == "attn.qkv.bias":
+            dim = v.shape[0] // 3
+            heads = new[blk]["attn"]["query"]["kernel"].shape[1]
+            hd = dim // heads
+            q, kk, vv = np.split(v, 3)
+            for name, vec in (("query", q), ("key", kk), ("value", vv)):
+                n += put((blk, "attn", name, "bias"), vec.reshape(heads, hd))
+        elif rest == "attn.proj.weight":
+            dim = v.shape[0]
+            heads = new[blk]["attn"]["query"]["kernel"].shape[1]
+            hd = dim // heads
+            n += put((blk, "attn", "out", "kernel"),
+                     _t_linear(v).reshape(heads, hd, dim))
+        elif rest == "attn.proj.bias":
+            n += put((blk, "attn", "out", "bias"), v)
+        else:
+            inner = {
+                "norm1.weight": ("norm1", "scale"), "norm1.bias": ("norm1", "bias"),
+                "norm2.weight": ("norm2", "scale"), "norm2.bias": ("norm2", "bias"),
+                "mlp.fc1.weight": ("mlp_fc1", "kernel"),
+                "mlp.fc1.bias": ("mlp_fc1", "bias"),
+                "mlp.fc2.weight": ("mlp_fc2", "kernel"),
+                "mlp.fc2.bias": ("mlp_fc2", "bias"),
+            }
+            if rest in inner:
+                val = _t_linear(v) if rest.endswith("weight") and "mlp" in rest else v
+                n += put((blk,) + inner[rest], val)
+    return new, n
+
+
+def import_convnext(sd: dict[str, np.ndarray], params: dict) -> tuple[dict, int]:
+    import copy
+
+    new = copy.deepcopy(params)
+    keymap = convnext_key_map(list(sd.keys()))
+    n = 0
+    for tk, (path, conv) in keymap.items():
+        node = new
+        ok = True
+        for p in path[:-1]:
+            if p not in node:
+                ok = False
+                break
+            node = node[p]
+        if not ok or path[-1] not in node:
+            continue
+        val = conv(sd[tk])
+        if tuple(node[path[-1]].shape) != tuple(val.shape):
+            logger.warning(
+                "skip %s -> %s: shape %s vs %s (classifier-strip semantics)",
+                tk, "/".join(path), val.shape, node[path[-1]].shape,
+            )
+            continue
+        node[path[-1]] = jnp.asarray(val, dtype=node[path[-1]].dtype)
+        n += 1
+    return new, n
+
+
+def load_checkpoint_into_variables(
+    path: str, variables: dict, model_name: str
+) -> dict:
+    """Load a torch/safetensors checkpoint file into a flax variables dict.
+    Backbone params may be nested under 'backbone' (deep supervision)."""
+    sd = load_state_dict(path)
+    params = variables["params"]
+    nested = "backbone" in params
+    target = params["backbone"] if nested else params
+    if "convnext" in model_name:
+        new_target, n = import_convnext(sd, target)
+    elif model_name.startswith(("vit_", "deit_")):
+        new_target, n = import_vit(sd, target)
+    else:
+        raise ValueError(
+            f"No pretrained import mapping for {model_name!r} yet"
+        )
+    logger.info("loaded %d tensors from %s", n, path)
+    if n == 0:
+        logger.warning("no tensors matched; check checkpoint naming")
+    new_params = dict(params)
+    if nested:
+        new_params["backbone"] = new_target
+    else:
+        new_params = new_target
+    out = dict(variables)
+    out["params"] = new_params
+    return out

@@ -1,0 +1,116 @@
+"""Stratified K-fold orchestration — the top of the training stack.
+
+Mirrors `train_k_fold` (`train_advanced_v4.py:562-655`): read the manifest,
+log the class distribution, split with StratifiedKFold(seed 42), and per
+fold build loaders (val batch = 2x train, `:618`), a fresh model/optimizer,
+and run the fold trainer; per-fold failures are logged and skipped
+(`:651-653`). Adds the V3.1 imbalance tools behind flags: minority
+oversampling (`train_advanced_v4.py:527-560` / `V3.1/...:521-536`) and
+inverse-frequency weighted sampling (`V3.1/...:253-296`).
+
+The decoded-image store is built ONCE over the full manifest; folds index
+into it (no per-fold decode).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any
+
+import numpy as np
+
+from image_classification_tpu.data.loader import DataLoader
+from image_classification_tpu.data.manifest import Manifest, distribution_stats
+from image_classification_tpu.data.sampling import (
+    SequentialSampler,
+    ShuffleSampler,
+    WeightedSampler,
+    inverse_frequency_weights,
+)
+from image_classification_tpu.data.source import ImageSource
+from image_classification_tpu.data.splits import oversample_minority, stratified_kfold
+from image_classification_tpu.train.loop import FoldResult, train_fold
+
+logger = logging.getLogger("ic_tpu")
+
+
+def build_source(cfg, manifest: Manifest, img_dir: str) -> ImageSource:
+    return ImageSource(
+        img_dir,
+        manifest.ids,
+        native_size=tuple(cfg.native_size),
+        cache_dir=cfg.cache_dir if cfg.use_decode_cache else None,
+    )
+
+
+def make_fold_loaders(
+    cfg, source, manifest: Manifest, train_idx, val_idx, mesh=None
+):
+    train_labels = manifest.labels[train_idx]
+    if cfg.oversample_min_samples > 0:
+        extra = oversample_minority(
+            train_labels, cfg.oversample_min_samples, seed=cfg.seed
+        )
+        train_idx = train_idx[extra]
+        train_labels = manifest.labels[train_idx]
+    if cfg.use_sampler:
+        sampler: Any = WeightedSampler(
+            inverse_frequency_weights(train_labels), seed=cfg.seed
+        )
+    else:
+        sampler = ShuffleSampler(len(train_idx), seed=cfg.seed)
+    train_loader = DataLoader(
+        source, manifest, indices=train_idx, batch_size=cfg.batch_size,
+        sampler=sampler, drop_last=True, pad_last=False, mesh=mesh,
+        prefetch_depth=cfg.prefetch_depth,
+    )
+    val_loader = DataLoader(
+        source, manifest, indices=val_idx,
+        batch_size=cfg.batch_size * cfg.val_batch_multiplier,
+        sampler=SequentialSampler(len(val_idx)), pad_last=True, mesh=mesh,
+        prefetch_depth=cfg.prefetch_depth,
+    )
+    return train_loader, val_loader, train_labels
+
+
+def train_k_fold(
+    cfg,
+    manifest: Manifest | None = None,
+    source=None,
+    mesh=None,
+    resume: bool = False,
+) -> list[FoldResult]:
+    if manifest is None:
+        manifest = Manifest.from_csv(cfg.train_csv, num_classes=cfg.num_classes)
+    logger.info(
+        "class distribution: %s",
+        distribution_stats(manifest.labels, cfg.num_classes),
+    )
+    if source is None:
+        source = build_source(cfg, manifest, cfg.train_dir)
+    results: list[FoldResult] = []
+    splits = stratified_kfold(manifest.labels, cfg.num_folds, seed=cfg.fold_seed)
+    for fold, (train_idx, val_idx) in enumerate(splits, start=1):
+        logger.info(
+            "fold %d/%d: train %d / val %d",
+            fold, cfg.num_folds, len(train_idx), len(val_idx),
+        )
+        try:
+            train_loader, val_loader, train_labels = make_fold_loaders(
+                cfg, source, manifest, train_idx, val_idx, mesh=mesh
+            )
+            class_counts = np.bincount(train_labels, minlength=cfg.num_classes)
+            result = train_fold(
+                cfg, train_loader, val_loader, fold=fold,
+                class_counts=class_counts, resume=resume,
+            )
+            results.append(result)
+            logger.info("fold %d done: best val acc %.4f", fold, result.best_val_acc)
+        except KeyboardInterrupt:
+            raise
+        except Exception:
+            # parity with the reference's per-fold tolerance
+            # (`train_advanced_v4.py:651-653`) — but log the full trace.
+            logger.exception("fold %d failed; continuing", fold)
+            continue
+    return results

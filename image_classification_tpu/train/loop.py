@@ -1,0 +1,220 @@
+"""The host-side epoch loop for one fold.
+
+Thin orchestration around the compiled steps: epoch iteration, EMA-weights
+validation, best tracking, patience early stop, SWA, checkpointing, and
+throughput/duty-cycle accounting. Mirrors `train_fold`
+(`train_advanced_v4.py:422-482`) plus V3's SWA
+(`previous/V3-efb2/train_advanced_v3.0.py:445,463,505-507`) and real resume
+(the capability `V3.1/utils.py:63-93` only sketched).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax
+import numpy as np
+
+from image_classification_tpu.core import prng
+from image_classification_tpu.models.factory import create_model, load_pretrained_into
+from image_classification_tpu.train.loss import build_criterion
+from image_classification_tpu.train.optim import build_optimizer
+from image_classification_tpu.train.schedule import (
+    PlateauScheduler,
+    warmup_cosine_schedule,
+)
+from image_classification_tpu.train.step import make_eval_step, make_train_step
+from image_classification_tpu.train.train_state import (
+    TrainState,
+    create_train_state,
+    swa_update,
+)
+from image_classification_tpu.utils import checkpoint as ckpt
+from image_classification_tpu.utils.metrics import macro_f1
+from image_classification_tpu.utils.profiler import StepTimer
+
+logger = logging.getLogger("ic_tpu")
+
+
+@dataclass
+class FoldResult:
+    fold: int
+    best_val_acc: float
+    best_variables: dict            # {'params', maybe 'batch_stats'}
+    bundle: Any
+    history: list[dict] = field(default_factory=list)
+
+
+def build_lr_schedule(cfg, steps_per_epoch: int):
+    """Cosine horizon sizing preserves the reference's microbatch quirk
+    (see train/schedule.py docstring)."""
+    if cfg.schedule == "none":
+        return cfg.lr
+    if cfg.schedule == "plateau":
+        return cfg.lr  # host-adjusted via PlateauScheduler + optimizer rebuild
+    if cfg.schedule_horizon == "microbatches":
+        total = steps_per_epoch * cfg.epochs
+    else:
+        total = (steps_per_epoch * cfg.epochs) // cfg.gradient_accumulation_steps
+    warmup = int(total * cfg.warmup_ratio)
+    return warmup_cosine_schedule(cfg.lr, warmup, total, cfg.min_lr)
+
+
+def evaluate(eval_step, state: TrainState, loader) -> dict:
+    loss_sum = correct = count = 0.0
+    cm = None
+    for batch in loader:
+        m = eval_step(state, batch)
+        loss_sum += float(m["loss_sum"])
+        correct += float(m["correct"])
+        count += float(m["count"])
+        cm = m["confusion"] if cm is None else cm + m["confusion"]
+    count = max(count, 1.0)
+    return {
+        "loss": loss_sum / count,
+        "accuracy": correct / count,
+        "macro_f1": float(macro_f1(cm)) if cm is not None else 0.0,
+        "confusion": np.asarray(cm) if cm is not None else None,
+    }
+
+
+def train_fold(
+    cfg,
+    train_loader,
+    val_loader,
+    fold: int = 1,
+    class_counts: np.ndarray | None = None,
+    resume: bool = False,
+    model_name: str | None = None,
+) -> FoldResult:
+    bundle = create_model(cfg, model_name)
+    root = prng.root_key(cfg.seed)
+    fold_key = prng.fold(root, fold)
+
+    variables = bundle.init(prng.fold_name(fold_key, "init"))
+    variables = load_pretrained_into(bundle, variables, cfg)
+
+    steps_per_epoch = len(train_loader)
+    schedule = build_lr_schedule(cfg, steps_per_epoch)
+    plateau = (
+        PlateauScheduler(cfg.lr, cfg.plateau_factor, cfg.plateau_patience)
+        if cfg.schedule == "plateau"
+        else None
+    )
+    tx = build_optimizer(cfg, schedule)
+    criterion = build_criterion(
+        cfg,
+        class_counts=None
+        if class_counts is None
+        else jax.numpy.asarray(class_counts),
+    )
+    state = create_train_state(
+        variables, tx, use_ema=cfg.use_ema, use_swa=cfg.use_swa
+    )
+
+    start_epoch = 0
+    if resume:
+        restored = ckpt.load_train_state(cfg.output_dir, fold, state)
+        if restored is not None:
+            state, start_epoch = restored
+            logger.info("fold %d: resumed at epoch %d", fold, start_epoch)
+
+    train_step = jax.jit(make_train_step(bundle, cfg, tx, criterion),
+                         donate_argnums=(0,))
+    eval_step = jax.jit(make_eval_step(bundle, cfg))
+
+    best_val_acc = -1.0
+    best_variables: dict = {}
+    patience_counter = 0
+    history: list[dict] = []
+    step_key = prng.fold_name(fold_key, "steps")
+
+    for epoch in range(start_epoch, cfg.epochs):
+        train_loader.set_epoch(epoch)
+        timer = StepTimer()
+        losses = []
+        accs = []
+        it = iter(train_loader)
+        while True:
+            with timer.data_wait():
+                batch = next(it, None)
+            if batch is None:
+                break
+            with timer.compute(n_images=batch["image"].shape[0]):
+                state, metrics = train_step(state, batch, step_key)
+            losses.append(metrics["loss"])
+            accs.append(metrics["accuracy"])
+        # block on the last step so timing is honest
+        jax.block_until_ready(state.params)
+        train_loss = float(np.mean([float(l) for l in losses])) if losses else 0.0
+        train_acc = float(np.mean([float(a) for a in accs])) if accs else 0.0
+
+        val = evaluate(eval_step, state, val_loader)
+        perf = timer.summary()
+        record = {
+            "epoch": epoch,
+            "train_loss": train_loss,
+            "train_acc": train_acc,
+            "val_loss": val["loss"],
+            "val_acc": val["accuracy"],
+            "val_macro_f1": val["macro_f1"],
+            **perf,
+        }
+        history.append(record)
+        logger.info(
+            "fold %d epoch %d/%d: train %.4f/%.4f val %.4f/%.4f f1 %.4f "
+            "(%.1f img/s, duty %.1f%%)",
+            fold, epoch + 1, cfg.epochs, train_loss, train_acc,
+            val["loss"], val["accuracy"], val["macro_f1"],
+            perf["images_per_sec"], 100 * perf["duty_cycle"],
+        )
+
+        if cfg.use_swa and (epoch + 1) >= cfg.swa_start_epoch:
+            state = swa_update(state)
+
+        if val["accuracy"] > best_val_acc:
+            best_val_acc = val["accuracy"]
+            eval_params = state.eval_params(use_ema=cfg.use_ema)
+            best_variables = {"params": jax.tree.map(np.asarray, eval_params)}
+            if state.batch_stats is not None:
+                best_variables["batch_stats"] = jax.tree.map(
+                    np.asarray, state.batch_stats
+                )
+            patience_counter = 0
+            ckpt.save_best(
+                cfg.model_save_path, fold,
+                best_variables["params"],
+                best_variables.get("batch_stats"),
+                best_val_acc,
+            )
+        else:
+            patience_counter += 1
+
+        ckpt.save_train_state(cfg.output_dir, fold, state, epoch, cfg)
+
+        if plateau is not None:
+            from image_classification_tpu.train.optim import set_learning_rate
+
+            new_lr = plateau.step(val["accuracy"])
+            state = state.replace(
+                opt_state=set_learning_rate(state.opt_state, new_lr)
+            )
+
+        if patience_counter >= cfg.patience:
+            logger.info("fold %d: early stopping after epoch %d", fold, epoch + 1)
+            break
+
+    if not best_variables:  # zero epochs or all NaN: fall back to final
+        best_variables = {"params": jax.tree.map(np.asarray, state.params)}
+        if state.batch_stats is not None:
+            best_variables["batch_stats"] = jax.tree.map(np.asarray, state.batch_stats)
+    return FoldResult(
+        fold=fold,
+        best_val_acc=best_val_acc,
+        best_variables=best_variables,
+        bundle=bundle,
+        history=history,
+    )

@@ -1,0 +1,99 @@
+"""Optimizer construction.
+
+AdamW with torch-parity defaults: betas (0.9, 0.999), eps 1e-8, and weight
+decay applied to **all** parameters — torch ``optim.AdamW(model.parameters())``
+(`train_advanced_v4.py:504-510`) does not exempt norms/biases, so neither do
+we by default (``decoupled_decay_mask='all'``; 'no_norm_bias' gives the
+conventional exemption). Gradient clipping is global-norm over the whole
+tree before the update (`train_advanced_v4.py:226-229`). Layer freezing
+(`V3.1/train_advanced_v3.2.py:399-403`) zeroes updates for matching
+parameter subtrees.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import optax
+
+
+def _freeze_label_fn(freeze_stages: int) -> Callable:
+    """Label params 'frozen' for stem + the first ``freeze_stages`` stages."""
+
+    def label(path: tuple, _leaf) -> str:
+        keys = [getattr(p, "key", str(p)) for p in path]
+        name = keys[1] if keys and keys[0] == "backbone" and len(keys) > 1 else (
+            keys[0] if keys else ""
+        )
+        if name.startswith("stem"):
+            return "frozen"
+        for s in range(freeze_stages):
+            if name.startswith((f"stage{s}_", f"downsample{s}_")):
+                return "frozen"
+        return "train"
+
+    return label
+
+
+def build_optimizer(
+    cfg,
+    lr_schedule: Callable | float,
+) -> optax.GradientTransformation:
+    if cfg.optimizer.lower() != "adamw":
+        raise ValueError(f"Unsupported optimizer {cfg.optimizer!r}")
+    if cfg.schedule == "plateau":
+        # dynamic LR: the host-side PlateauScheduler rewrites the injected
+        # hyperparameter between epochs (see set_learning_rate)
+        adamw = optax.inject_hyperparams(optax.adamw)(
+            learning_rate=float(lr_schedule) if not callable(lr_schedule) else cfg.lr,
+            b1=cfg.adam_b1, b2=cfg.adam_b2, eps=cfg.adam_eps,
+            weight_decay=cfg.weight_decay,
+        )
+    else:
+        adamw = optax.adamw(
+            learning_rate=lr_schedule,
+            b1=cfg.adam_b1,
+            b2=cfg.adam_b2,
+            eps=cfg.adam_eps,
+            weight_decay=cfg.weight_decay,
+        )
+    core = optax.chain(
+        optax.clip_by_global_norm(cfg.gradient_clip_val)
+        if cfg.gradient_clip_val > 0
+        else optax.identity(),
+        adamw,
+    )
+    core = _with_freeze(core, cfg)
+    return core
+
+
+def set_learning_rate(opt_state, lr: float):
+    """Rewrite the learning rate inside an inject_hyperparams opt state
+    (plateau mode). Returns the updated opt state pytree."""
+    import jax.numpy as jnp
+
+    def visit(node):
+        if isinstance(node, optax.InjectStatefulHyperparamsState) or (
+            hasattr(node, "hyperparams") and "learning_rate" in getattr(node, "hyperparams", {})
+        ):
+            hp = dict(node.hyperparams)
+            hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
+            return node._replace(hyperparams=hp)
+        if isinstance(node, tuple) and not hasattr(node, "hyperparams"):
+            return type(node)(*(visit(c) for c in node))
+        return node
+
+    return visit(opt_state)
+
+
+def _with_freeze(core: optax.GradientTransformation, cfg) -> optax.GradientTransformation:
+    if cfg.freeze_stages > 0:
+        label = _freeze_label_fn(cfg.freeze_stages)
+        return optax.multi_transform(
+            {"train": core, "frozen": optax.set_to_zero()},
+            lambda params: jax.tree_util.tree_map_with_path(
+                lambda path, leaf: label(path, leaf), params
+            ),
+        )
+    return core

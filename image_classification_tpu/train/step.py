@@ -1,0 +1,208 @@
+"""The jitted train / eval steps — the framework's hot loop.
+
+One XLA program per optimizer step replaces the reference's whole per-batch
+Python path (`train_advanced_v4.py:193-281`): device-side augmentation,
+in-batch MixUp/CutMix, ``gradient_accumulation_steps`` microbatches via
+``lax.scan``, global-norm clip + AdamW + schedule, and the EMA update —
+with donated buffers, bf16 compute, f32 params, and the data-parallel
+gradient all-reduce inserted automatically by XLA from the mesh shardings.
+
+Parity notes:
+- The reference's AMP path *sums* microbatch losses' gradients without
+  dividing by the accumulation count (asymmetry vs its non-AMP path,
+  `train_advanced_v4.py:223-244`); ``cfg.grad_accum_reduction`` selects
+  'sum' (parity, AMP was on in published runs) or 'mean'.
+- EMA updates once per optimizer step (`train_advanced_v4.py:236-237`).
+- Train accuracy is measured against the pre-mix integer labels (the
+  reference only measured it on unmixed batches, `:259-265`; with per-sample
+  in-batch mixing that set is empty, so this is the closest observable).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from image_classification_tpu.aug.mix import MixCfg, mixup_cutmix_batch
+from image_classification_tpu.aug.pipeline import (
+    aug_configs_from,
+    eval_preprocess,
+    train_augment,
+)
+from image_classification_tpu.core import prng
+from image_classification_tpu.train.loss import smoothed_cross_entropy
+from image_classification_tpu.train.train_state import (
+    TrainState,
+    ema_update,
+)
+
+
+def make_train_step(
+    bundle,
+    cfg,
+    tx: optax.GradientTransformation,
+    criterion: Callable,
+) -> Callable:
+    """Build ``train_step(state, batch, base_key) -> (state, metrics)``.
+
+    ``batch`` is a dict with 'image' uint8 (B, h, w, 3) and 'label' int32
+    (B,), already device-put with the batch dim sharded over the mesh.
+    """
+    aug = aug_configs_from(cfg)
+    mix_cfg = MixCfg(
+        mixup_alpha=cfg.mixup_alpha,
+        cutmix_alpha=cfg.cutmix_alpha,
+        prob=cfg.mix_prob,
+        num_classes=cfg.num_classes,
+    )
+    accum = cfg.gradient_accumulation_steps
+    use_mix = cfg.mixup_alpha > 0 or cfg.cutmix_alpha > 0
+    has_bs = bundle.has_batch_stats
+
+    def loss_for_microbatch(params, batch_stats, images, targets, drop_key):
+        variables = {"params": params}
+        if has_bs:
+            variables["batch_stats"] = batch_stats
+            outputs, updates = bundle.module.apply(
+                variables, images, deterministic=False,
+                rngs={"dropout": drop_key}, mutable=["batch_stats"],
+            )
+            new_bs = updates["batch_stats"]
+        else:
+            outputs = bundle.module.apply(
+                variables, images, deterministic=False,
+                rngs={"dropout": drop_key},
+            )
+            new_bs = batch_stats
+        loss = criterion(outputs, targets)
+        main = outputs[0] if isinstance(outputs, (tuple, list)) else outputs
+        return loss, (new_bs, main)
+
+    grad_fn = jax.value_and_grad(loss_for_microbatch, has_aux=True)
+
+    def train_step(state: TrainState, batch: dict, base_key: jax.Array):
+        key = prng.fold(base_key, state.step)
+        images = train_augment(batch["image"], prng.fold_name(key, "aug"), aug)
+        labels = batch["label"]
+        if use_mix:
+            images, targets = mixup_cutmix_batch(
+                images, labels, prng.fold_name(key, "mix"), mix_cfg
+            )
+        else:
+            targets = labels
+        B = images.shape[0]
+        micro = B // accum
+        # (B, ...) -> (accum, micro, ...) keeping the sharded batch dim local:
+        # consecutive rows stay on-device, so this is a free reshape+transpose.
+        mb_images = jnp.swapaxes(
+            images.reshape(micro, accum, *images.shape[1:]), 0, 1
+        )
+        mb_targets = jnp.swapaxes(
+            targets.reshape(micro, accum, *targets.shape[1:]), 0, 1
+        )
+
+        def micro_step(carry, xs):
+            grads_acc, bs, i = carry
+            imgs, tgts = xs
+            dkey = prng.fold(prng.fold_name(key, "dropout"), i)
+            (loss, (new_bs, main)), grads = grad_fn(
+                state.params, bs, imgs, tgts, dkey
+            )
+            grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+            return (grads_acc, new_bs, i + 1), (loss, main)
+
+        zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+        (grads, new_bs, _), (losses, mains) = jax.lax.scan(
+            micro_step,
+            (zero_grads, state.batch_stats, jnp.zeros((), jnp.int32)),
+            (mb_images, mb_targets),
+        )
+        if cfg.grad_accum_reduction == "mean":
+            grads = jax.tree.map(lambda g: g / accum, grads)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_ema = (
+            ema_update(state.ema_params, new_params, cfg.ema_decay)
+            if state.ema_params is not None
+            else None
+        )
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            opt_state=new_opt,
+            ema_params=new_ema,
+            batch_stats=new_bs,
+        )
+        # mains is (accum, micro, C); sample (m, a) was original row m*accum+a
+        mains_flat = jnp.swapaxes(mains, 0, 1).reshape(B, -1)
+        preds = jnp.argmax(mains_flat, axis=-1)
+        metrics = {
+            "loss": jnp.mean(losses),
+            "accuracy": jnp.mean(preds == labels.reshape(-1)),
+        }
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(bundle, cfg, use_ema: bool = True) -> Callable:
+    """Build ``eval_step(state, batch) -> metrics`` (masked sums, so padded
+    final batches contribute nothing). Mirrors `validate`
+    (`train_advanced_v4.py:283-315`): deep-supervised models are scored on
+    the main head; loss is label-smoothed CE."""
+
+    def eval_step(state: TrainState, batch: dict):
+        params = state.eval_params(use_ema=use_ema and cfg.use_ema)
+        images = eval_preprocess(
+            batch["image"], tuple(cfg.image_size), tuple(cfg.mean), tuple(cfg.std)
+        )
+        variables = {"params": params}
+        if bundle.has_batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        outputs = bundle.module.apply(variables, images, deterministic=True)
+        logits = outputs[0] if isinstance(outputs, (tuple, list)) else outputs
+        labels = batch["label"]
+        mask = batch["mask"].astype(jnp.float32)
+        per = smoothed_cross_entropy(
+            logits, labels, cfg.label_smoothing, reduction="none"
+        )
+        preds = jnp.argmax(logits, axis=-1)
+        idx = labels * cfg.num_classes + preds
+        cm = jnp.zeros((cfg.num_classes * cfg.num_classes,), jnp.float32)
+        cm = cm.at[idx].add(mask)
+        return {
+            "loss_sum": jnp.sum(per * mask),
+            "correct": jnp.sum((preds == labels) * mask),
+            "count": jnp.sum(mask),
+            "confusion": cm.reshape(cfg.num_classes, cfg.num_classes),
+        }
+
+    return eval_step
+
+
+def make_predict_step(bundle, cfg, tta: Callable | None = None) -> Callable:
+    """Build ``predict_step(variables, images_u8) -> probs`` for inference.
+    With ``tta`` set, averages softmax over the TTA views
+    (`train_advanced_v4.py:317-347`)."""
+
+    def predict_step(variables: dict, images_u8: jnp.ndarray) -> jnp.ndarray:
+        x = eval_preprocess(
+            images_u8, tuple(cfg.image_size), tuple(cfg.mean), tuple(cfg.std)
+        )
+
+        def forward(img):
+            outputs = bundle.module.apply(variables, img, deterministic=True)
+            logits = outputs[0] if isinstance(outputs, (tuple, list)) else outputs
+            return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+        if tta is None:
+            return forward(x)
+        views = tta(x)
+        probs = jnp.stack([forward(v) for v in views])
+        return jnp.mean(probs, axis=0)
+
+    return predict_step

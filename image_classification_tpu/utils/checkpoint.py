@@ -1,0 +1,111 @@
+"""Checkpointing: full-state resume + best-model weights.
+
+Two tiers, like the reference intended:
+- ``save_best`` / ``load_best``: weights-only best-val checkpoints with
+  metadata (val_acc, fold) — `train_advanced_v4.py:464-469`'s
+  ``best_model_fold{k}.pth``.
+- ``save_train_state`` / ``load_train_state``: the FULL TrainState
+  (params, optimizer, EMA, BN stats, SWA, step) + epoch + config for true
+  mid-run resume — the capability `V3.1/utils.py:63-93` defined but never
+  wired; here the trainer actually calls it.
+
+Orbax handles the array tree IO (async-capable, multi-host-safe); metadata
+goes in a JSON sidecar.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+import jax
+import orbax.checkpoint as ocp
+
+
+def _ckptr() -> ocp.PyTreeCheckpointer:
+    return ocp.PyTreeCheckpointer()
+
+
+def save_tree(path: str, tree: Any, metadata: dict | None = None) -> None:
+    path = os.path.abspath(path)
+    if os.path.exists(path):
+        import shutil
+
+        shutil.rmtree(path)
+    _ckptr().save(path, tree)
+    if metadata is not None:
+        with open(os.path.join(path, "metadata.json"), "w") as f:
+            json.dump(metadata, f, indent=2, default=str)
+
+
+def load_tree(path: str, template: Any) -> Any:
+    path = os.path.abspath(path)
+    restore_args = jax.tree.map(
+        lambda x: ocp.RestoreArgs(restore_type=type(x))
+        if not hasattr(x, "shape")
+        else ocp.ArrayRestoreArgs(dtype=x.dtype),
+        template,
+    )
+    return _ckptr().restore(path, item=template, restore_args=restore_args)
+
+
+def load_metadata(path: str) -> dict:
+    meta = os.path.join(os.path.abspath(path), "metadata.json")
+    if not os.path.exists(meta):
+        return {}
+    with open(meta) as f:
+        return json.load(f)
+
+
+# --------------------------------------------------------------- best model
+
+def best_path(save_dir: str, fold: int) -> str:
+    return os.path.join(save_dir, f"best_model_fold{fold}")
+
+
+def save_best(
+    save_dir: str, fold: int, params: Any, batch_stats: Any, val_acc: float
+) -> str:
+    """Weights-only best checkpoint (`train_advanced_v4.py:464-469`)."""
+    path = best_path(save_dir, fold)
+    tree = {"params": params}
+    if batch_stats is not None:
+        tree["batch_stats"] = batch_stats
+    save_tree(path, tree, {"val_acc": float(val_acc), "fold": fold})
+    return path
+
+
+def load_best(save_dir: str, fold: int, template: dict) -> tuple[dict, dict]:
+    path = best_path(save_dir, fold)
+    return load_tree(path, template), load_metadata(path)
+
+
+# --------------------------------------------------------------- full state
+
+def resume_path(output_dir: str, fold: int) -> str:
+    return os.path.join(output_dir, f"train_state_fold{fold}")
+
+
+def save_train_state(
+    output_dir: str, fold: int, state: Any, epoch: int, cfg: Any
+) -> str:
+    path = resume_path(output_dir, fold)
+    save_tree(
+        path,
+        state,
+        {"epoch": epoch, "fold": fold, "config": cfg.to_dict()},
+    )
+    return path
+
+
+def load_train_state(
+    output_dir: str, fold: int, template: Any
+) -> tuple[Any, int] | None:
+    """Returns (state, next_epoch) or None when no checkpoint exists."""
+    path = resume_path(output_dir, fold)
+    if not os.path.exists(path):
+        return None
+    meta = load_metadata(path)
+    state = load_tree(path, template)
+    return state, int(meta.get("epoch", -1)) + 1

@@ -1,0 +1,56 @@
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from image_classification_tpu.core.config import Config
+from image_classification_tpu.train.train_state import create_train_state
+from image_classification_tpu.utils import checkpoint as ckpt
+
+
+@pytest.fixture
+def state():
+    params = {"dense": {"kernel": jnp.ones((4, 4)), "bias": jnp.zeros((4,))}}
+    tx = optax.adamw(1e-3)
+    return create_train_state({"params": params}, tx, use_ema=True)
+
+
+def test_save_load_best(tmp_path, state):
+    path = ckpt.save_best(str(tmp_path), 1, state.params, None, 0.87)
+    template = {"params": state.params}
+    tree, meta = ckpt.load_best(str(tmp_path), 1, template)
+    np.testing.assert_array_equal(
+        np.asarray(tree["params"]["dense"]["kernel"]), np.ones((4, 4))
+    )
+    assert meta["val_acc"] == pytest.approx(0.87)
+    assert meta["fold"] == 1
+
+
+def test_save_load_train_state_roundtrip(tmp_path, state):
+    cfg = Config()
+    state2 = state.replace(step=state.step + 5)
+    ckpt.save_train_state(str(tmp_path), 2, state2, epoch=3, cfg=cfg)
+    restored = ckpt.load_train_state(str(tmp_path), 2, state)
+    assert restored is not None
+    rstate, next_epoch = restored
+    assert next_epoch == 4
+    assert int(rstate.step) == 5
+    np.testing.assert_array_equal(
+        np.asarray(rstate.ema_params["dense"]["kernel"]),
+        np.asarray(state.ema_params["dense"]["kernel"]),
+    )
+
+
+def test_load_missing_returns_none(tmp_path, state):
+    assert ckpt.load_train_state(str(tmp_path), 9, state) is None
+
+
+def test_overwrite_best(tmp_path, state):
+    ckpt.save_best(str(tmp_path), 1, state.params, None, 0.5)
+    new_params = {"dense": {"kernel": jnp.full((4, 4), 2.0), "bias": jnp.ones((4,))}}
+    ckpt.save_best(str(tmp_path), 1, new_params, None, 0.9)
+    tree, meta = ckpt.load_best(str(tmp_path), 1, {"params": state.params})
+    assert meta["val_acc"] == pytest.approx(0.9)
+    np.testing.assert_array_equal(
+        np.asarray(tree["params"]["dense"]["kernel"]), 2.0
+    )

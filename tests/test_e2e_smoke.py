@@ -1,0 +1,125 @@
+"""End-to-end smoke: synthetic 8-class dataset -> K-fold training ->
+ensemble TTA inference -> submission CSV. The learning check (accuracy well
+above chance on the structured synthetic task) exercises the full stack the
+way the reference's held-out-validation 'oracle' did (SURVEY.md §4)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from image_classification_tpu.core.config import Config
+from image_classification_tpu.data import DataLoader, Manifest, make_synthetic_dataset
+from image_classification_tpu.data.sampling import SequentialSampler
+from image_classification_tpu.data.source import ArraySource
+from image_classification_tpu.data.synthetic import longtail_labels, synthetic_images
+from image_classification_tpu.infer import predict_ensemble, write_submission
+from image_classification_tpu.train.kfold import train_k_fold
+
+
+@pytest.fixture(scope="module")
+def smoke_cfg(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("smoke"))
+    ds = make_synthetic_dataset(
+        root, n_train=160, n_test=24, num_classes=8, native_size=(24, 32), seed=3
+    )
+    cfg = Config(
+        train_dir=ds["train_dir"],
+        test_dir=ds["test_dir"],
+        train_csv=ds["train_csv"],
+        test_csv=ds["test_csv"],
+        submission_path=os.path.join(root, "submission.csv"),
+        num_classes=8,
+        native_size=(24, 32),
+        image_size=(32, 32),
+        model_name="convnext_atto",
+        use_deep_supervision=False,
+        batch_size=16,
+        gradient_accumulation_steps=2,
+        epochs=4,
+        num_folds=2,
+        lr=2e-3,
+        compute_dtype="float32",
+        use_decode_cache=False,
+        model_save_path=os.path.join(root, "models"),
+        output_dir=os.path.join(root, "out"),
+        # keep augmentation mild so 4 epochs can learn
+        distortion_prob=0.0,
+        noise_blur_prob=0.0,
+        color_shift_prob=0.0,
+        color_jitter_prob=0.0,
+        random_erasing_prob=0.0,
+        mixup_alpha=0.0,
+        cutmix_alpha=0.0,
+        rrc_scale=(0.9, 1.0),
+        ssr_prob=0.2,
+        rotate_limit=10.0,
+        vflip_prob=0.0,
+        patience=10,
+        tta_transforms=4,
+    ).validate()
+    return cfg, ds
+
+
+def test_kfold_train_and_predict(smoke_cfg):
+    cfg, ds = smoke_cfg
+    results = train_k_fold(cfg)
+    assert len(results) == 2
+    for r in results:
+        assert r.best_val_acc > 0.5  # structured task, well above 1/8 chance
+        assert len(r.history) >= 1
+        assert r.history[-1]["images_per_sec"] > 0
+
+    # best-model checkpoints exist (`best_model_fold{k}`)
+    for fold in (1, 2):
+        assert os.path.exists(
+            os.path.join(cfg.model_save_path, f"best_model_fold{fold}")
+        )
+
+    # ensemble + TTA inference -> submission
+    test_manifest = Manifest.from_csv(cfg.test_csv, is_test=True)
+    test_images = synthetic_images(
+        np.asarray(_test_labels(ds)), native_size=(24, 32), seed=4
+    )
+    src = ArraySource(test_images)
+    test_loader = DataLoader(
+        src, test_manifest, batch_size=16,
+        sampler=SequentialSampler(len(test_manifest)), pad_last=True,
+    )
+    bundles = [r.bundle for r in results]
+    variables = [r.best_variables for r in results]
+    ids, preds, probs = predict_ensemble(bundles, variables, test_loader, cfg)
+    assert len(ids) == len(test_manifest) == len(preds)
+    np.testing.assert_allclose(probs.sum(axis=1), 1.0, rtol=1e-4)
+
+    df = write_submission(ids, preds, cfg.submission_path)
+    assert list(df.columns) == ["id", "predict"]
+    import pandas as pd
+
+    on_disk = pd.read_csv(cfg.submission_path)
+    assert len(on_disk) == len(test_manifest)
+    assert (on_disk["predict"] >= 0).all() and (on_disk["predict"] < 8).all()
+
+
+def _test_labels(ds):
+    return ds["test_labels"]
+
+
+def test_resume_from_checkpoint(smoke_cfg):
+    """Full-state resume: restart fold 1 and confirm it picks up after the
+    last saved epoch instead of restarting at 0."""
+    cfg, ds = smoke_cfg
+    from image_classification_tpu.data.manifest import Manifest
+    from image_classification_tpu.data.splits import stratified_kfold
+    from image_classification_tpu.train.kfold import build_source, make_fold_loaders
+    from image_classification_tpu.train.loop import train_fold
+
+    manifest = Manifest.from_csv(cfg.train_csv, num_classes=cfg.num_classes)
+    source = build_source(cfg, manifest, cfg.train_dir)
+    train_idx, val_idx = next(iter(stratified_kfold(manifest.labels, 2, 42)))
+    tl, vl, _ = make_fold_loaders(cfg, source, manifest, train_idx, val_idx)
+    cfg_resume = cfg.replace(epochs=5)
+    result = train_fold(cfg_resume, tl, vl, fold=1, resume=True)
+    # resumed from epoch 4 (0-based) -> exactly 1 new epoch recorded
+    assert len(result.history) == 1
+    assert result.history[0]["epoch"] == 4

@@ -1,0 +1,122 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from image_classification_tpu.core.config import Config
+from image_classification_tpu.models import (
+    ConvNeXt,
+    DeepSupervisionModel,
+    EfficientNet,
+    VisionTransformer,
+    create_model,
+    list_models,
+)
+from image_classification_tpu.models.efficientnet import build_efficientnet
+from image_classification_tpu.models.vit import build_vit
+
+
+def small_convnext(**kw):
+    kw.setdefault("num_classes", 10)
+    kw.setdefault("depths", (1, 1, 1, 1))
+    kw.setdefault("dims", (8, 16, 24, 32))
+    kw.setdefault("dtype", jnp.float32)
+    return ConvNeXt(**kw)
+
+
+def test_convnext_forward_shape():
+    m = small_convnext()
+    x = jnp.zeros((2, 32, 32, 3))
+    variables = m.init(jax.random.key(0), x)
+    out = m.apply(variables, x)
+    assert out.shape == (2, 10)
+    logits, feats = m.apply(variables, x, return_features=True)
+    assert len(feats) == 3
+    assert feats[0].shape == (2, 4, 4, 16)
+    assert feats[2].shape == (2, 1, 1, 32)
+
+
+def test_deep_supervision_outputs():
+    backbone = small_convnext()
+    m = DeepSupervisionModel(backbone=backbone, num_classes=10)
+    x = jnp.zeros((2, 32, 32, 3))
+    variables = m.init(jax.random.key(0), x)
+    outs = m.apply(variables, x)
+    assert isinstance(outs, tuple) and len(outs) == 4
+    for o in outs:
+        assert o.shape == (2, 10)
+
+
+def test_vit_forward():
+    m = VisionTransformer(
+        num_classes=10, patch=8, dim=32, depth=2, heads=2, dtype=jnp.float32
+    )
+    x = jnp.zeros((2, 32, 32, 3))
+    variables = m.init(jax.random.key(0), x)
+    out = m.apply(variables, x)
+    assert out.shape == (2, 10)
+
+
+def test_efficientnet_forward_and_batchstats():
+    m = build_efficientnet("efficientnet_b0", num_classes=10, dtype=jnp.float32)
+    x = jnp.zeros((2, 64, 64, 3))
+    variables = m.init(jax.random.key(0), x)
+    assert "batch_stats" in variables
+    out = m.apply(variables, x)
+    assert out.shape == (2, 10)
+    out, updates = m.apply(
+        variables, x, deterministic=False, mutable=["batch_stats"],
+        rngs={"dropout": jax.random.key(1)},
+    )
+    assert "batch_stats" in updates
+
+
+def test_efficientnetv2_s_builds():
+    m = build_efficientnet("tf_efficientnetv2_s_in21ft1k", num_classes=10,
+                           dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = m.init(jax.random.key(0), x)
+    assert m.apply(variables, x).shape == (1, 10)
+
+
+def test_factory_reference_names():
+    cfg = Config(image_size=(64, 64), use_deep_supervision=False)
+    for name in [
+        "convnext_tiny",
+        "efficientnet_b0",
+        "vit_tiny_patch16_224",
+        "deit_tiny_patch16_224",
+        "tf_efficientnetv2_s_in21ft1k",
+        "convnext_base_in22k",
+        "vit_base_patch16_224.augreg_in21k",
+    ]:
+        b = create_model(cfg, name)
+        assert b.module is not None
+
+
+def test_factory_deep_supervision_wrap():
+    cfg = Config(image_size=(32, 32), model_name="convnext_tiny",
+                 use_deep_supervision=True)
+    b = create_model(cfg)
+    assert b.deep_supervised
+    variables = b.init(jax.random.key(0))
+    outs = b.apply(variables, jnp.zeros((1, 32, 32, 3)))
+    assert len(outs) == 4
+
+
+def test_list_models_nonempty():
+    names = list_models()
+    assert "convnext_base" in names and "efficientnet_b0" in names
+
+
+def test_drop_path_train_vs_eval():
+    m = small_convnext(drop_path_rate=0.5)
+    x = jnp.ones((4, 32, 32, 3))
+    variables = m.init(jax.random.key(0), x)
+    det = m.apply(variables, x, deterministic=True)
+    r1 = m.apply(variables, x, deterministic=False,
+                 rngs={"dropout": jax.random.key(1)})
+    r2 = m.apply(variables, x, deterministic=False,
+                 rngs={"dropout": jax.random.key(2)})
+    assert not np.allclose(np.asarray(r1), np.asarray(r2))
+    assert np.isfinite(np.asarray(det)).all()

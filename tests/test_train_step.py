@@ -1,0 +1,212 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from image_classification_tpu.core.config import Config
+from image_classification_tpu.core import prng
+from image_classification_tpu.models.factory import create_model
+from image_classification_tpu.train.loss import build_criterion
+from image_classification_tpu.train.optim import build_optimizer
+from image_classification_tpu.train.step import make_eval_step, make_train_step
+from image_classification_tpu.train.train_state import (
+    create_train_state,
+    ema_update,
+    swa_update,
+)
+
+
+def tiny_cfg(**kw):
+    base = dict(
+        model_name="convnext_atto",
+        num_classes=8,
+        image_size=(32, 32),
+        native_size=(24, 32),
+        batch_size=8,
+        gradient_accumulation_steps=2,
+        use_deep_supervision=False,
+        use_ema=True,
+        epochs=2,
+        compute_dtype="float32",
+    )
+    base.update(kw)
+    return Config(**base).validate()
+
+
+def make_batch(cfg, seed=0):
+    rng = np.random.default_rng(seed)
+    return {
+        "image": rng.integers(0, 256, size=(cfg.batch_size, *cfg.native_size, 3)).astype(np.uint8),
+        "label": rng.integers(0, cfg.num_classes, size=cfg.batch_size).astype(np.int32),
+        "mask": np.ones(cfg.batch_size, bool),
+    }
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_cfg()
+    bundle = create_model(cfg)
+    tx = build_optimizer(cfg, 1e-3)
+    criterion = build_criterion(cfg)
+    variables = bundle.init(jax.random.key(0))
+    state = create_train_state(variables, tx, use_ema=True)
+    step = jax.jit(make_train_step(bundle, cfg, tx, criterion))
+    return cfg, bundle, tx, state, step
+
+
+def test_train_step_runs_and_updates(setup):
+    cfg, bundle, tx, state, step = setup
+    batch = make_batch(cfg)
+    new_state, metrics = step(state, batch, jax.random.key(1))
+    assert int(new_state.step) == 1
+    assert np.isfinite(float(metrics["loss"]))
+    assert 0.0 <= float(metrics["accuracy"]) <= 1.0
+    # params actually moved
+    diff = jax.tree.reduce(
+        lambda a, b: a + b,
+        jax.tree.map(
+            lambda a, b: float(jnp.abs(a - b).sum()), state.params, new_state.params
+        ),
+    )
+    assert diff > 0
+
+
+def test_train_step_deterministic(setup):
+    cfg, bundle, tx, state, step = setup
+    batch = make_batch(cfg)
+    s1, m1 = step(state, batch, jax.random.key(1))
+    s2, m2 = step(state, batch, jax.random.key(1))
+    assert float(m1["loss"]) == float(m2["loss"])
+    l1 = jax.tree.leaves(s1.params)[0]
+    l2 = jax.tree.leaves(s2.params)[0]
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+
+def test_train_step_key_matters(setup):
+    cfg, bundle, tx, state, step = setup
+    batch = make_batch(cfg)
+    _, m1 = step(state, batch, jax.random.key(1))
+    _, m2 = step(state, batch, jax.random.key(2))
+    assert float(m1["loss"]) != float(m2["loss"])
+
+
+def test_ema_update_math():
+    ema = {"w": jnp.ones((3,))}
+    params = {"w": jnp.zeros((3,))}
+    out = ema_update(ema, params, 0.9)
+    np.testing.assert_allclose(np.asarray(out["w"]), 0.9)
+
+
+def test_ema_tracks_params(setup):
+    cfg, bundle, tx, state, step = setup
+    batch = make_batch(cfg)
+    s = state
+    for i in range(3):
+        s, _ = step(s, batch, jax.random.key(i))
+    # EMA must differ from both init and current params
+    p0 = jax.tree.leaves(state.params)[0]
+    pc = jax.tree.leaves(s.params)[0]
+    pe = jax.tree.leaves(s.ema_params)[0]
+    assert not np.allclose(np.asarray(pe), np.asarray(pc))
+    # EMA with decay .9997 stays near init after 3 steps
+    assert np.abs(np.asarray(pe) - np.asarray(p0)).max() < np.abs(
+        np.asarray(pc) - np.asarray(p0)
+    ).max()
+
+
+def test_grad_accum_sum_vs_mean():
+    cfg_sum = tiny_cfg(grad_accum_reduction="sum", use_ema=False)
+    cfg_mean = tiny_cfg(grad_accum_reduction="mean", use_ema=False)
+    bundle = create_model(cfg_sum)
+    variables = bundle.init(jax.random.key(0))
+    batch = make_batch(cfg_sum)
+    results = {}
+    for name, cfg in (("sum", cfg_sum), ("mean", cfg_mean)):
+        # plain SGD so the update magnitude directly reflects gradient scale
+        import optax
+
+        tx = optax.sgd(1e-2)
+        state = create_train_state(variables, tx, use_ema=False)
+        step = jax.jit(make_train_step(bundle, cfg, tx, build_criterion(cfg)))
+        new_state, _ = step(state, batch, jax.random.key(1))
+        delta = jax.tree.map(
+            lambda a, b: np.abs(np.asarray(a) - np.asarray(b)).sum(),
+            new_state.params, state.params,
+        )
+        results[name] = jax.tree.reduce(lambda a, b: a + b, delta)
+    assert results["sum"] == pytest.approx(2 * results["mean"], rel=1e-3)
+
+
+def test_eval_step_mask(setup):
+    cfg, bundle, tx, state, step = setup
+    eval_step = jax.jit(make_eval_step(bundle, cfg))
+    batch = make_batch(cfg)
+    batch["mask"] = np.array([True] * 6 + [False] * 2)
+    m = eval_step(state, batch)
+    assert float(m["count"]) == 6.0
+    assert float(m["correct"]) <= 6.0
+    assert m["confusion"].shape == (cfg.num_classes, cfg.num_classes)
+    assert float(m["confusion"].sum()) == 6.0
+
+
+def test_eval_uses_ema_params(setup):
+    cfg, bundle, tx, state, step = setup
+    batch = make_batch(cfg)
+    s = state
+    for i in range(2):
+        s, _ = step(s, batch, jax.random.key(i))
+    eval_ema = jax.jit(make_eval_step(bundle, cfg, use_ema=True))
+    eval_raw = jax.jit(make_eval_step(bundle, cfg, use_ema=False))
+    m1 = eval_ema(s, batch)
+    m2 = eval_raw(s, batch)
+    assert float(m1["loss_sum"]) != float(m2["loss_sum"])
+
+
+def test_swa_update():
+    import optax
+
+    params = {"w": jnp.ones((2,))}
+    state = create_train_state(
+        {"params": params}, optax.sgd(0.1), use_ema=False, use_swa=True
+    )
+    state = swa_update(state)
+    np.testing.assert_allclose(np.asarray(state.swa_params["w"]), 1.0)
+    state = state.replace(params={"w": jnp.full((2,), 3.0)})
+    state = swa_update(state)
+    np.testing.assert_allclose(np.asarray(state.swa_params["w"]), 2.0)
+    assert int(state.swa_count) == 2
+
+
+def test_deep_supervision_train_step():
+    cfg = tiny_cfg(use_deep_supervision=True)
+    bundle = create_model(cfg)
+    tx = build_optimizer(cfg, 1e-3)
+    variables = bundle.init(jax.random.key(0))
+    state = create_train_state(variables, tx, use_ema=False)
+    step = jax.jit(make_train_step(bundle, cfg, tx, build_criterion(cfg)))
+    new_state, metrics = step(state, make_batch(cfg), jax.random.key(1))
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_freeze_stages():
+    cfg = tiny_cfg(freeze_stages=1, use_ema=False, use_deep_supervision=False)
+    bundle = create_model(cfg)
+    tx = build_optimizer(cfg, 1e-3)
+    variables = bundle.init(jax.random.key(0))
+    state = create_train_state(variables, tx, use_ema=False)
+    step = jax.jit(make_train_step(bundle, cfg, tx, build_criterion(cfg)))
+    new_state, _ = step(state, make_batch(cfg), jax.random.key(1))
+    # stem and stage0 frozen
+    np.testing.assert_array_equal(
+        np.asarray(new_state.params["stem_conv"]["kernel"]),
+        np.asarray(state.params["stem_conv"]["kernel"]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(new_state.params["stage0_block0"]["conv_dw"]["kernel"]),
+        np.asarray(state.params["stage0_block0"]["conv_dw"]["kernel"]),
+    )
+    # later stages train
+    assert not np.array_equal(
+        np.asarray(new_state.params["stage2_block0"]["conv_dw"]["kernel"]),
+        np.asarray(state.params["stage2_block0"]["conv_dw"]["kernel"]),
+    )
