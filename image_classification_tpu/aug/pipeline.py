@@ -25,6 +25,7 @@ from image_classification_tpu.aug import color as color_ops
 from image_classification_tpu.aug import erase as erase_ops
 from image_classification_tpu.aug import filters as filter_ops
 from image_classification_tpu.aug import geometry as geom
+from image_classification_tpu.aug import randaug as randaug_ops
 from image_classification_tpu.core import prng
 
 
@@ -74,6 +75,16 @@ def aug_configs_from(cfg) -> dict:
             max_holes=cfg.erase_max_holes,
             min_holes=cfg.erase_min_holes,
         ),
+        "randaugment": (
+            None
+            if not cfg.use_randaugment
+            else randaug_ops.RandAugmentCfg(
+                prob=cfg.randaugment_prob,
+                num_ops=cfg.randaugment_num_ops,
+                magnitude=cfg.randaugment_magnitude,
+                mag_std=cfg.randaugment_mag_std,
+            )
+        ),
         "image_size": tuple(cfg.image_size),
         "mean": tuple(cfg.mean),
         "std": tuple(cfg.std),
@@ -111,6 +122,10 @@ def train_augment(
     k_cs = prng.fold_name(key, "color_shift")
     k_er = prng.fold_name(key, "erase")
     x = geom.geometric_augment(x, k_geo, aug["image_size"], aug["geometry"])
+    if aug.get("randaugment") is not None:
+        x = randaug_ops.rand_augment(
+            x, prng.fold_name(key, "randaug"), aug["randaugment"]
+        )
     x = filter_ops.noise_blur_oneof(x, k_nb, aug["noise_blur"])
     x = color_ops.color_jitter(x, k_cj, aug["jitter"])
     x = color_ops.color_shift_oneof(x, k_cs, aug["color_shift"])

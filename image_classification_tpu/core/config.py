@@ -75,6 +75,13 @@ class Config:
     random_erasing_prob: float = 0.3
     erase_max_holes: int = 8
     erase_min_holes: int = 1
+    # RandAugment (V2 recipe: timm rand-m9-n3-mstd0.5 with p=0.3,
+    # reference `previous/V2-convbase/dataset.py:51-54`); off in V4
+    use_randaugment: bool = False
+    randaugment_prob: float = 0.3
+    randaugment_num_ops: int = 3
+    randaugment_magnitude: float = 9.0
+    randaugment_mag_std: float = 0.5
     # MixUp / CutMix  (reference `config.py:16-17`, `dataset.py:70-190`)
     mixup_alpha: float = 0.2
     cutmix_alpha: float = 1.0

@@ -96,17 +96,31 @@ class ImageSource:
     def _decode_all(self, out: np.ndarray) -> None:
         h, w = self.native_size
         rng = np.random.default_rng(0)
+        paths = [_resolve_path(self.img_dir, str(i)) for i in self.ids]
+        todo = range(len(self.ids))
+
+        # Fast path: native C++ thread-pool decoder (csrc/fastloader.cpp).
+        # Anything it rejects (missing, corrupt, non-JPEG) retries via cv2,
+        # which applies the configured fallback policy.
+        from image_classification_tpu.data import native
+
+        if native.available() and len(self.ids) > 0:
+            buf = np.ascontiguousarray(out) if out.flags["C_CONTIGUOUS"] else np.empty_like(out)
+            ok = native.decode_batch(paths, buf, num_threads=self.num_threads)
+            if buf is not out:
+                out[:] = buf
+            todo = np.nonzero(~ok)[0]
+
         n_failed = 0
 
         def work(i: int) -> None:
             nonlocal n_failed
-            path = _resolve_path(self.img_dir, str(self.ids[i]))
-            if path is None:
+            if paths[i] is None:
                 n_failed += 1
-            out[i] = decode_image(path, (h, w), self.fallback, rng)
+            out[i] = decode_image(paths[i], (h, w), self.fallback, rng)
 
         with ThreadPoolExecutor(max_workers=self.num_threads) as ex:
-            list(ex.map(work, range(len(self.ids))))
+            list(ex.map(work, todo))
         if n_failed:
             logger.warning("ImageSource: %d/%d images missing/unreadable",
                            n_failed, len(self.ids))
