@@ -207,6 +207,39 @@ def train_fold(
             logger.info("fold %d: early stopping after epoch %d", fold, epoch + 1)
             break
 
+    # ---- SWA finalization (`previous/V3-efb2/...:445-507`): average the
+    # post-swa_start snapshots, refresh BN stats, keep it if it validates
+    # better than the best EMA model.
+    if cfg.use_swa and state.swa_params is not None and int(state.swa_count) > 0:
+        from image_classification_tpu.train.step import make_bn_update_step
+
+        swa_state = state.replace(params=state.swa_params, ema_params=None)
+        if state.batch_stats is not None:
+            bn_step = jax.jit(make_bn_update_step(bundle, cfg))
+            bs = state.batch_stats
+            train_loader.set_epoch(0)
+            for batch in train_loader:
+                bs = bn_step(swa_state.params, bs, batch)
+            swa_state = swa_state.replace(batch_stats=bs)
+        swa_val = evaluate(eval_step, swa_state, val_loader)
+        logger.info(
+            "fold %d SWA (%d snapshots): val %.4f/%.4f",
+            fold, int(state.swa_count), swa_val["loss"], swa_val["accuracy"],
+        )
+        if swa_val["accuracy"] > best_val_acc:
+            best_val_acc = swa_val["accuracy"]
+            best_variables = {
+                "params": jax.tree.map(np.asarray, swa_state.params)
+            }
+            if swa_state.batch_stats is not None:
+                best_variables["batch_stats"] = jax.tree.map(
+                    np.asarray, swa_state.batch_stats
+                )
+            ckpt.save_best(
+                cfg.model_save_path, fold, best_variables["params"],
+                best_variables.get("batch_stats"), best_val_acc,
+            )
+
     if not best_variables:  # zero epochs or all NaN: fall back to final
         best_variables = {"params": jax.tree.map(np.asarray, state.params)}
         if state.batch_stats is not None:

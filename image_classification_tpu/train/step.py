@@ -184,6 +184,28 @@ def make_eval_step(bundle, cfg, use_ema: bool = True) -> Callable:
     return eval_step
 
 
+def make_bn_update_step(bundle, cfg) -> Callable:
+    """One forward pass in train mode to refresh BatchNorm running stats —
+    torch's ``update_bn`` used before SWA inference
+    (`previous/V3-efb2/train_advanced_v3.0.py:505-507`). No-op for BN-free
+    models (the trainer skips calling it)."""
+
+    def bn_step(params, batch_stats, batch):
+        images = eval_preprocess(
+            batch["image"], tuple(cfg.image_size), tuple(cfg.mean), tuple(cfg.std)
+        )
+        _, updates = bundle.module.apply(
+            {"params": params, "batch_stats": batch_stats},
+            images,
+            deterministic=False,
+            rngs={"dropout": jax.random.key(0)},
+            mutable=["batch_stats"],
+        )
+        return updates["batch_stats"]
+
+    return bn_step
+
+
 def make_predict_step(bundle, cfg, tta: Callable | None = None) -> Callable:
     """Build ``predict_step(variables, images_u8) -> probs`` for inference.
     With ``tta`` set, averages softmax over the TTA views

@@ -40,6 +40,10 @@ def smoke_cfg(tmp_path_factory):
         num_folds=2,
         lr=2e-3,
         compute_dtype="float32",
+        # EMA decay 0.9997 needs thousands of steps to track params; with
+        # ~20 steps the shadow is still the random init, so the smoke test
+        # validates raw params (EMA math is unit-tested in test_train_step).
+        use_ema=False,
         use_decode_cache=False,
         model_save_path=os.path.join(root, "models"),
         output_dir=os.path.join(root, "out"),
