@@ -24,6 +24,10 @@ REFERENCE_IMAGES_PER_SEC = 79.0  # see module docstring
 def main() -> None:
     import jax
 
+    from image_classification_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from image_classification_tpu.core.config import Config
     from image_classification_tpu.models.factory import create_model
     from image_classification_tpu.train.loop import build_lr_schedule

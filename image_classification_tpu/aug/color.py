@@ -43,6 +43,7 @@ def rgb_to_hsv(img: jnp.ndarray) -> jnp.ndarray:
 
 
 def hsv_to_rgb(hsv: jnp.ndarray) -> jnp.ndarray:
+    # Branch-free select chain (jnp.choose lowers to a slow gather on TPU).
     h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
     i = jnp.floor(h * 6.0)
     f = h * 6.0 - i
@@ -50,9 +51,17 @@ def hsv_to_rgb(hsv: jnp.ndarray) -> jnp.ndarray:
     q = v * (1.0 - s * f)
     t = v * (1.0 - s * (1.0 - f))
     i = i.astype(jnp.int32) % 6
-    r = jnp.choose(i, [v, q, p, p, t, v], mode="clip")
-    g = jnp.choose(i, [t, v, v, q, p, p], mode="clip")
-    b = jnp.choose(i, [p, p, t, v, v, q], mode="clip")
+
+    def pick(c0, c1, c2, c3, c4, c5):
+        out = jnp.where(i == 0, c0, c1)
+        out = jnp.where(i == 2, c2, out)
+        out = jnp.where(i == 3, c3, out)
+        out = jnp.where(i == 4, c4, out)
+        return jnp.where(i == 5, c5, out)
+
+    r = pick(v, q, p, p, t, v)
+    g = pick(t, v, v, q, p, p)
+    b = pick(p, p, t, v, v, q)
     return jnp.stack([r, g, b], axis=-1)
 
 
@@ -92,43 +101,46 @@ def color_jitter(
     images: jnp.ndarray, key: jax.Array, cfg: ColorJitterCfg
 ) -> jnp.ndarray:
     """torchvision-style ColorJitter: per-sample random factors AND random
-    application order of the four ops (`dataset.py:211`)."""
+    application order of the four ops (`dataset.py:211`).
+
+    SPMD formulation: instead of a per-sample vmap(switch) — which
+    serializes on TPU — each of the 4 rounds computes all four adjustments
+    *batched* and per-sample selects by the sampled permutation. 16 batched
+    elementwise ops total; no per-sample control flow.
+    """
     B = images.shape[0]
     k_apply, k_b, k_c, k_s, k_h, k_perm = jax.random.split(key, 6)
     apply = jax.random.bernoulli(k_apply, cfg.prob, (B,))
     fb = jax.random.uniform(
-        k_b, (B,), minval=max(0.0, 1 - cfg.brightness), maxval=1 + cfg.brightness
+        k_b, (B, 1, 1, 1), minval=max(0.0, 1 - cfg.brightness),
+        maxval=1 + cfg.brightness,
     )
     fc = jax.random.uniform(
-        k_c, (B,), minval=max(0.0, 1 - cfg.contrast), maxval=1 + cfg.contrast
+        k_c, (B, 1, 1, 1), minval=max(0.0, 1 - cfg.contrast),
+        maxval=1 + cfg.contrast,
     )
     fs = jax.random.uniform(
-        k_s, (B,), minval=max(0.0, 1 - cfg.saturation), maxval=1 + cfg.saturation
+        k_s, (B, 1, 1, 1), minval=max(0.0, 1 - cfg.saturation),
+        maxval=1 + cfg.saturation,
     )
-    fh = jax.random.uniform(k_h, (B,), minval=-cfg.hue, maxval=cfg.hue)
+    fh = jax.random.uniform(k_h, (B, 1, 1), minval=-cfg.hue, maxval=cfg.hue)
     perms = jax.vmap(lambda k: jax.random.permutation(k, 4))(
         jax.random.split(k_perm, B)
-    )
+    )  # (B, 4) — order of ops per sample
 
-    def one(img, fb, fc, fs, fh, perm):
-        def step(i, im):
-            op = perm[i]
-            return jax.lax.switch(
-                op,
-                [
-                    lambda x: _adjust_brightness(x, fb),
-                    lambda x: _adjust_contrast(x, fc),
-                    lambda x: _adjust_saturation(x, fs),
-                    lambda x: _adjust_hue(x, fh),
-                ],
-                im,
-            )
-
-        return jax.lax.fori_loop(0, 4, step, img)
-
-    jittered = jax.vmap(one)(images, fb, fc, fs, fh, perms)
-    jittered = jnp.clip(jittered, 0.0, 255.0)
-    return jnp.where(apply[:, None, None, None], jittered, images)
+    x = images
+    for step in range(4):
+        op = perms[:, step][:, None, None, None]
+        bright = _adjust_brightness(x, fb)
+        contrast = _adjust_contrast(x, fc)
+        sat = _adjust_saturation(x, fs)
+        hue = _adjust_hue(x, fh)
+        x = jnp.where(
+            op == 0, bright,
+            jnp.where(op == 1, contrast, jnp.where(op == 2, sat, hue)),
+        )
+    x = jnp.clip(x, 0.0, 255.0)
+    return jnp.where(apply[:, None, None, None], x, images)
 
 
 # --------------------------------------------------------------------------

@@ -21,8 +21,10 @@ import sys
 
 
 def _build_cfg(args):
+    from image_classification_tpu.core.cache import enable_compilation_cache
     from image_classification_tpu.core.config import load_config
 
+    enable_compilation_cache()
     return load_config(args.config, args.overrides)
 
 
