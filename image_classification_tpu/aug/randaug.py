@@ -143,39 +143,15 @@ def _sharpness(img, factor):
     return blur + factor * (img - blur)
 
 
-def _apply_op(img: jnp.ndarray, op_id: jnp.ndarray, mag: jnp.ndarray,
-              sign: jnp.ndarray) -> jnp.ndarray:
-    """One RandAugment op on a single (H, W, 3) image. Magnitude mapping
-    follows timm's level functions at max level 10."""
-    frac = mag / 10.0
-    signed = jnp.where(sign, frac, -frac)
-    branches = [
-        lambda im: _autocontrast(im),                       # 0 AutoContrast
-        lambda im: _equalize(im),                           # 1 Equalize
-        lambda im: _invert(im),                             # 2 Invert
-        lambda im: _rotate(im, signed * 30.0),              # 3 Rotate
-        lambda im: _posterize(im, 4 - jnp.floor(frac * 4)), # 4 Posterize
-        lambda im: _solarize(im, 256.0 * (1 - frac)),       # 5 Solarize
-        lambda im: _solarize_add(im, 110.0 * frac),         # 6 SolarizeAdd
-        lambda im: jnp.clip(                                # 7 Color (saturation)
-            _adjust_saturation(im[None], 1.0 + signed * 0.9)[0], 0, 255),
-        lambda im: jnp.clip(                                # 8 Contrast
-            _adjust_contrast(im[None], 1.0 + signed * 0.9)[0], 0, 255),
-        lambda im: jnp.clip(                                # 9 Brightness
-            _adjust_brightness(im, 1.0 + signed * 0.9), 0, 255),
-        lambda im: jnp.clip(_sharpness(im, 1.0 + signed * 0.9), 0, 255),  # 10
-        lambda im: _shear(im, signed * 0.3, 0),             # 11 ShearX
-        lambda im: _shear(im, signed * 0.3, 1),             # 12 ShearY
-        lambda im: _translate(im, signed * 0.45, 0),        # 13 TranslateX
-        lambda im: _translate(im, signed * 0.45, 1),        # 14 TranslateY
-    ]
-    return jax.lax.switch(op_id, branches, img)
-
-
 def rand_augment(
     images: jnp.ndarray, key: jax.Array, cfg: RandAugmentCfg
 ) -> jnp.ndarray:
-    """images (B, H, W, 3) float32 0..255 -> augmented, same shape."""
+    """images (B, H, W, 3) float32 0..255 -> augmented, same shape.
+
+    SPMD formulation: per op slot, every branch is computed *batched* over
+    the whole batch and per-sample selected by the drawn op id (per-sample
+    vmap(switch) serializes on TPU; see aug/color.py for the same pattern).
+    """
     B = images.shape[0]
     k_gate, k_ops, k_apply, k_mag, k_sign = jax.random.split(key, 5)
     gate = jax.random.bernoulli(k_gate, cfg.prob, (B,))
@@ -188,12 +164,37 @@ def rand_augment(
     )
     signs = jax.random.bernoulli(k_sign, 0.5, (B, cfg.num_ops))
 
-    def per_sample(img, ops, apps, ms, sgns, g):
-        def body(i, im):
-            out = _apply_op(im, ops[i], ms[i], sgns[i])
-            return jnp.where(apps[i], out, im)
+    x = images
+    for slot in range(cfg.num_ops):
+        mag = mags[:, slot]
+        sign = signs[:, slot]
+        frac = mag / 10.0
+        signed = jnp.where(sign, frac, -frac)
+        b1 = signed[:, None, None, None]
 
-        out = jax.lax.fori_loop(0, cfg.num_ops, body, img)
-        return jnp.where(g, out, img)
+        def warp(fn, *args):
+            return jax.vmap(fn)(x, *args)
 
-    return jax.vmap(per_sample)(images, op_ids, applies, mags, signs, gate)
+        branches = [
+            jax.vmap(_autocontrast)(x),                                  # 0
+            jax.vmap(_equalize)(x),                                      # 1
+            _invert(x),                                                  # 2
+            warp(_rotate, signed * 30.0),                                # 3
+            _posterize(x, (4 - jnp.floor(frac * 4))[:, None, None, None]),  # 4
+            _solarize(x, (256.0 * (1 - frac))[:, None, None, None]),     # 5
+            _solarize_add(x, (110.0 * frac)[:, None, None, None]),       # 6
+            jnp.clip(_adjust_saturation(x, 1.0 + b1 * 0.9), 0, 255),     # 7
+            jnp.clip(_adjust_contrast(x, 1.0 + b1 * 0.9), 0, 255),       # 8
+            jnp.clip(_adjust_brightness(x, 1.0 + b1 * 0.9), 0, 255),     # 9
+            jnp.clip(jax.vmap(_sharpness)(x, 1.0 + signed * 0.9), 0, 255),  # 10
+            warp(lambda im, a: _shear(im, a, 0), signed * 0.3),          # 11
+            warp(lambda im, a: _shear(im, a, 1), signed * 0.3),          # 12
+            warp(lambda im, a: _translate(im, a, 0), signed * 0.45),     # 13
+            warp(lambda im, a: _translate(im, a, 1), signed * 0.45),     # 14
+        ]
+        op = op_ids[:, slot][:, None, None, None]
+        out = branches[0]
+        for i in range(1, _NUM_OPS):
+            out = jnp.where(op == i, branches[i], out)
+        x = jnp.where((applies[:, slot] & gate)[:, None, None, None], out, x)
+    return x
