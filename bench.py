@@ -71,16 +71,19 @@ def main() -> None:
     }
     key = jax.random.key(1)
 
-    # warmup / compile
+    # warmup / compile; the float() readback forces a real device round-trip
+    # (block_until_ready alone can return early on tunneled backends)
     for _ in range(3):
         state, metrics = step(state, batch, key)
-    jax.block_until_ready(state.params)
+    float(metrics["loss"])
 
     n_steps = 30
     t0 = time.perf_counter()
     for _ in range(n_steps):
         state, metrics = step(state, batch, key)
-    jax.block_until_ready(state.params)
+    # the final metrics depend on the donated state chain, so this readback
+    # cannot complete before every step has executed
+    float(metrics["loss"])
     dt = time.perf_counter() - t0
 
     imgs_per_sec = n_steps * cfg.batch_size / dt

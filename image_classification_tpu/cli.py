@@ -35,7 +35,11 @@ def cmd_train(args) -> None:
     from image_classification_tpu.data.sampling import SequentialSampler
     from image_classification_tpu.infer import predict_ensemble, write_submission
     from image_classification_tpu.parallel import MeshSpec, build_mesh
-    from image_classification_tpu.train.kfold import build_source, train_k_fold
+    from image_classification_tpu.train.kfold import (
+        build_source,
+        train_ensemble,
+        train_k_fold,
+    )
     from image_classification_tpu.utils.logging import setup_logging
 
     cfg = _build_cfg(args)
@@ -47,12 +51,17 @@ def cmd_train(args) -> None:
     if cfg.debug_nans:
         jax.config.update("jax_debug_nans", True)
 
-    results = train_k_fold(cfg, mesh=mesh, resume=args.resume)
+    if cfg.ensemble_models:
+        results, ens_weights = train_ensemble(cfg, mesh=mesh, resume=args.resume)
+    else:
+        results = train_k_fold(cfg, mesh=mesh, resume=args.resume)
+        ens_weights = None
     if not results:
         logger.error("training produced no models")
         sys.exit(1)
     for r in results:
-        logger.info("fold %d best val acc: %.4f", r.fold, r.best_val_acc)
+        logger.info("%s fold %d best val acc: %.4f",
+                    r.bundle.name, r.fold, r.best_val_acc)
 
     # test-set ensemble prediction -> submission (train_advanced_v4.py:690-712)
     test_manifest = Manifest.from_csv(cfg.test_csv, is_test=True)
@@ -66,7 +75,7 @@ def cmd_train(args) -> None:
         [r.bundle for r in results],
         [r.best_variables for r in results],
         test_loader, cfg,
-        weights=cfg.ensemble_weights or None,
+        weights=ens_weights,
     )
     write_submission(ids, preds, cfg.submission_path, column="target")
 

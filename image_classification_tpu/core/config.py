@@ -34,6 +34,11 @@ class Config:
     native_size: tuple[int, int] = (60, 80)
     # Model input size (H, W)  (reference `config.py:11`).
     image_size: tuple[int, int] = (260, 260)
+    # Progressive resizing (reference `config.py:12`, flag existed but was
+    # disabled): train early epochs at smaller input sizes, ramping to
+    # image_size over the first `progressive_stages` fractions of training.
+    progressive_resizing: bool = False
+    progressive_scales: tuple[float, ...] = (0.7, 0.85, 1.0)
     cache_dir: str = ".ic_tpu_cache"
     use_decode_cache: bool = True  # memmap uint8 cache of decoded images
 

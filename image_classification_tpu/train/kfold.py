@@ -73,12 +73,50 @@ def make_fold_loaders(
     return train_loader, val_loader, train_labels
 
 
+def train_ensemble(
+    cfg,
+    manifest: Manifest | None = None,
+    source=None,
+    mesh=None,
+    resume: bool = False,
+) -> tuple[list[FoldResult], list[float]]:
+    """Multi-architecture ensemble training (reference
+    `previous/V2-convbase/config.py:46-51`: e.g. ConvNeXt + ViT + DeiT with
+    weights [.4,.3,.3]). Runs the full K-fold per architecture; returns all
+    fold results plus per-result ensemble weights (architecture weight
+    split evenly across its folds)."""
+    names = list(cfg.ensemble_models) or [cfg.model_name]
+    arch_weights = list(cfg.ensemble_weights) or [1.0] * len(names)
+    if len(arch_weights) != len(names):
+        raise ValueError("ensemble_weights length must match ensemble_models")
+    if manifest is None:
+        manifest = Manifest.from_csv(cfg.train_csv, num_classes=cfg.num_classes)
+    if source is None:
+        source = build_source(cfg, manifest, cfg.train_dir)
+    results: list[FoldResult] = []
+    weights: list[float] = []
+    for name, aw in zip(names, arch_weights):
+        logger.info("ensemble member: %s (weight %.2f)", name, aw)
+        arch_cfg = cfg.replace(
+            model_name=name,
+            model_save_path=f"{cfg.model_save_path}/{name}",
+            output_dir=f"{cfg.output_dir}/{name}",
+        )
+        arch_results = train_k_fold(
+            arch_cfg, manifest=manifest, source=source, mesh=mesh, resume=resume
+        )
+        results.extend(arch_results)
+        weights.extend([aw / max(1, len(arch_results))] * len(arch_results))
+    return results, weights
+
+
 def train_k_fold(
     cfg,
     manifest: Manifest | None = None,
     source=None,
     mesh=None,
     resume: bool = False,
+    model_name: str | None = None,
 ) -> list[FoldResult]:
     if manifest is None:
         manifest = Manifest.from_csv(cfg.train_csv, num_classes=cfg.num_classes)
@@ -103,6 +141,7 @@ def train_k_fold(
             result = train_fold(
                 cfg, train_loader, val_loader, fold=fold,
                 class_counts=class_counts, resume=resume,
+                model_name=model_name,
             )
             results.append(result)
             logger.info("fold %d done: best val acc %.4f", fold, result.best_val_acc)

@@ -64,21 +64,26 @@ def build_lr_schedule(cfg, steps_per_epoch: int):
 
 
 def evaluate(eval_step, state: TrainState, loader) -> dict:
-    loss_sum = correct = count = 0.0
-    cm = None
+    # accumulate on device; one host fetch at the end (per-batch float()
+    # would force a sync per batch and serialize the eval stream)
+    acc = None
     for batch in loader:
         m = eval_step(state, batch)
-        loss_sum += float(m["loss_sum"])
-        correct += float(m["correct"])
-        count += float(m["count"])
-        cm = m["confusion"] if cm is None else cm + m["confusion"]
-    count = max(count, 1.0)
+        acc = m if acc is None else jax.tree.map(jnp_add, acc, m)
+    if acc is None:
+        return {"loss": 0.0, "accuracy": 0.0, "macro_f1": 0.0, "confusion": None}
+    cm = np.asarray(acc["confusion"])
+    count = max(float(acc["count"]), 1.0)
     return {
-        "loss": loss_sum / count,
-        "accuracy": correct / count,
-        "macro_f1": float(macro_f1(cm)) if cm is not None else 0.0,
-        "confusion": np.asarray(cm) if cm is not None else None,
+        "loss": float(acc["loss_sum"]) / count,
+        "accuracy": float(acc["correct"]) / count,
+        "macro_f1": float(macro_f1(cm)),
+        "confusion": cm,
     }
+
+
+def jnp_add(a, b):
+    return a + b
 
 
 def train_fold(
@@ -122,8 +127,27 @@ def train_fold(
             state, start_epoch = restored
             logger.info("fold %d: resumed at epoch %d", fold, start_epoch)
 
-    train_step = jax.jit(make_train_step(bundle, cfg, tx, criterion),
-                         donate_argnums=(0,))
+    # Progressive resizing (`config.py:12` flag): earlier epochs train at
+    # smaller inputs; each distinct size is its own compiled step.
+    step_cache: dict[tuple[int, int], Any] = {}
+
+    def train_step_for(epoch: int):
+        if cfg.progressive_resizing:
+            scales = cfg.progressive_scales
+            idx = min(len(scales) - 1, epoch * len(scales) // max(1, cfg.epochs))
+            h = int(round(cfg.image_size[0] * scales[idx] / 2)) * 2
+            w = int(round(cfg.image_size[1] * scales[idx] / 2)) * 2
+            size = (h, w)
+        else:
+            size = tuple(cfg.image_size)
+        if size not in step_cache:
+            stage_cfg = cfg.replace(image_size=size)
+            step_cache[size] = jax.jit(
+                make_train_step(bundle, stage_cfg, tx, criterion),
+                donate_argnums=(0,),
+            )
+        return step_cache[size]
+
     eval_step = jax.jit(make_eval_step(bundle, cfg))
 
     best_val_acc = -1.0
@@ -132,12 +156,18 @@ def train_fold(
     history: list[dict] = []
     step_key = prng.fold_name(fold_key, "steps")
 
+    profiled = False
     for epoch in range(start_epoch, cfg.epochs):
         train_loader.set_epoch(epoch)
+        train_step = train_step_for(epoch)
         timer = StepTimer()
         losses = []
         accs = []
         it = iter(train_loader)
+        # optional jax.profiler trace of this fold's steady-state steps
+        if cfg.profile_dir and epoch == start_epoch + 1 and not profiled:
+            profiled = True
+            jax.profiler.start_trace(cfg.profile_dir)
         while True:
             with timer.data_wait():
                 batch = next(it, None)
@@ -149,6 +179,8 @@ def train_fold(
             accs.append(metrics["accuracy"])
         # block on the last step so timing is honest
         jax.block_until_ready(state.params)
+        if profiled and cfg.profile_dir and epoch == start_epoch + 1:
+            jax.profiler.stop_trace()
         train_loss = float(np.mean([float(l) for l in losses])) if losses else 0.0
         train_acc = float(np.mean([float(a) for a in accs])) if accs else 0.0
 
