@@ -20,7 +20,9 @@ _GRAY_WEIGHTS = jnp.array([0.299, 0.587, 0.114])
 
 def rgb_to_grayscale(img: jnp.ndarray) -> jnp.ndarray:
     """ITU-R 601 luma, keepdims; matches torchvision/OpenCV weights."""
-    return jnp.tensordot(img, _GRAY_WEIGHTS, axes=[[-1], [0]])[..., None]
+    w = _GRAY_WEIGHTS.astype(img.dtype) if jnp.issubdtype(
+        img.dtype, jnp.floating) else _GRAY_WEIGHTS
+    return jnp.tensordot(img, w, axes=[[-1], [0]])[..., None]
 
 
 def rgb_to_hsv(img: jnp.ndarray) -> jnp.ndarray:
@@ -128,6 +130,10 @@ def color_jitter(
         jax.random.split(k_perm, B)
     )  # (B, 4) — order of ops per sample
 
+    fb = fb.astype(images.dtype)
+    fc = fc.astype(images.dtype)
+    fs = fs.astype(images.dtype)
+    fh = fh.astype(images.dtype)
     x = images
     for step in range(4):
         op = perms[:, step][:, None, None, None]
@@ -158,7 +164,7 @@ class ColorShiftCfg(NamedTuple):
 def rgb_shift(images: jnp.ndarray, key: jax.Array, limit: float) -> jnp.ndarray:
     B = images.shape[0]
     shift = jax.random.uniform(key, (B, 1, 1, 3), minval=-limit, maxval=limit)
-    return jnp.clip(images + shift, 0.0, 255.0)
+    return jnp.clip(images + shift.astype(images.dtype), 0.0, 255.0)
 
 
 def hue_saturation_value(
@@ -178,9 +184,10 @@ def hue_saturation_value(
         kv, (B, 1, 1), minval=-cfg.hsv_val_limit, maxval=cfg.hsv_val_limit
     )
     hsv = rgb_to_hsv(images)
-    h = (hsv[..., 0] + dh / 180.0) % 1.0
-    s = jnp.clip(hsv[..., 1] + dsat / 255.0, 0.0, 1.0)
-    v = jnp.clip(hsv[..., 2] + dval, 0.0, 255.0)
+    dt = images.dtype
+    h = (hsv[..., 0] + (dh / 180.0).astype(dt)) % 1.0
+    s = jnp.clip(hsv[..., 1] + (dsat / 255.0).astype(dt), 0.0, 1.0)
+    v = jnp.clip(hsv[..., 2] + dval.astype(dt), 0.0, 255.0)
     return hsv_to_rgb(jnp.stack([h, s, v], axis=-1))
 
 

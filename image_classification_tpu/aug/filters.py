@@ -74,25 +74,25 @@ def depthwise_conv_per_sample(
     images: jnp.ndarray, kernels: jnp.ndarray
 ) -> jnp.ndarray:
     """Convolve each sample with its own KxK kernel (all channels alike).
-    images (B,H,W,C) f32, kernels (B,K,K). Reflect-101 edge padding."""
+    images (B,H,W,C) f32, kernels (B,K,K). Reflect-101 edge padding.
+
+    Written as K*K shifted fused multiply-adds with per-sample scalar
+    weights — fully batched VPU work. (The grouped-conv formulation with
+    B*C groups lowers to a sequential per-group loop on TPU.)
+    """
     B, H, W, C = images.shape
     K = kernels.shape[-1]
     pad = K // 2
     x = jnp.pad(
         images, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect"
     )
-    # lhs: (1, B*C, H+2p, W+2p); rhs: (B*C, 1, K, K); groups = B*C
-    lhs = x.transpose(0, 3, 1, 2).reshape(1, B * C, H + 2 * pad, W + 2 * pad)
-    rhs = jnp.repeat(kernels[:, None], C, axis=1).reshape(B * C, 1, K, K)
-    out = jax.lax.conv_general_dilated(
-        lhs,
-        rhs,
-        window_strides=(1, 1),
-        padding="VALID",
-        feature_group_count=B * C,
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )
-    return out.reshape(B, C, H, W).transpose(0, 2, 3, 1)
+    kernels = kernels.astype(images.dtype)
+    out = jnp.zeros_like(images)
+    for i in range(K):
+        for j in range(K):
+            w = kernels[:, i, j][:, None, None, None]
+            out = out + x[:, i : i + H, j : j + W, :] * w
+    return out
 
 
 def noise_blur_oneof(
@@ -108,7 +108,9 @@ def noise_blur_oneof(
         k_var, (B, 1, 1, 1),
         minval=cfg.gauss_noise_var[0], maxval=cfg.gauss_noise_var[1],
     )
-    noise = jax.random.normal(k_noise, images.shape) * jnp.sqrt(var)
+    noise = (jax.random.normal(k_noise, images.shape) * jnp.sqrt(var)).astype(
+        images.dtype
+    )
     use_noise = apply & (pick == 0)
     noised = jnp.where(use_noise[:, None, None, None], images + noise, images)
 

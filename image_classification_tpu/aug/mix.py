@@ -65,9 +65,8 @@ def mixup_cutmix_batch(
 
     # ---- mixup branch
     lam_m = _beta(k_lam_m, cfg.mixup_alpha, (B,))
-    mixed_img = images * lam_m[:, None, None, None] + images2 * (
-        1.0 - lam_m[:, None, None, None]
-    )
+    lam_img = lam_m.astype(images.dtype)[:, None, None, None]
+    mixed_img = images * lam_img + images2 * (1.0 - lam_img)
     mixed_lab = onehot * lam_m[:, None] + onehot2 * (1.0 - lam_m[:, None])
 
     # ---- cutmix branch

@@ -88,6 +88,11 @@ def aug_configs_from(cfg) -> dict:
         "image_size": tuple(cfg.image_size),
         "mean": tuple(cfg.mean),
         "std": tuple(cfg.std),
+        # Pipeline compute dtype. bf16 halves HBM traffic through the whole
+        # chain; its ~1-px quantization on the 0..255 scale is finer than the
+        # uint8 pipeline the reference ran. Python-scalar constants keep
+        # weak typing, so ops stay in this dtype end to end.
+        "dtype": jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32,
     }
 
 
@@ -96,10 +101,12 @@ def normalize(
     mean: tuple[float, float, float],
     std: tuple[float, float, float],
 ) -> jnp.ndarray:
-    """(x/255 - mean) / std, matching A.Normalize (`dataset.py:233-236`)."""
-    m = jnp.asarray(mean, jnp.float32) * 255.0
-    s = jnp.asarray(std, jnp.float32) * 255.0
-    return (images - m) / s
+    """(x/255 - mean) / std, matching A.Normalize (`dataset.py:233-236`).
+    Keeps the input's float dtype (bf16 stays bf16)."""
+    dtype = images.dtype if jnp.issubdtype(images.dtype, jnp.floating) else jnp.float32
+    m = jnp.asarray(mean, dtype) * 255.0
+    s = jnp.asarray(std, dtype) * 255.0
+    return (images.astype(dtype) - m) * (1.0 / s)
 
 
 def resize_bilinear(images: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
@@ -114,8 +121,8 @@ def resize_bilinear(images: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray
 def train_augment(
     images_u8: jnp.ndarray, key: jax.Array, aug: dict
 ) -> jnp.ndarray:
-    """uint8 (B, H, W, 3) -> augmented normalized float32 (B, Ho, Wo, 3)."""
-    x = images_u8.astype(jnp.float32)
+    """uint8 (B, H, W, 3) -> augmented normalized float (B, Ho, Wo, 3)."""
+    x = images_u8.astype(aug.get("dtype", jnp.float32))
     k_geo = prng.fold_name(key, "geometry")
     k_nb = prng.fold_name(key, "noise_blur")
     k_cj = prng.fold_name(key, "jitter")
