@@ -241,6 +241,105 @@ def import_convnext(sd: dict[str, np.ndarray], params: dict) -> tuple[dict, int]
     return new, n
 
 
+def import_efficientnet(
+    sd: dict[str, np.ndarray], params: dict, batch_stats: dict
+) -> tuple[dict, dict, int]:
+    """timm efficientnet_* / tf_efficientnetv2_* keys -> our flax trees.
+
+    timm block forms map as:
+    - DepthwiseSeparableConv (expand==1): conv_dw/bn1, conv_pw/bn2
+      -> conv_dw/bn_dw, conv_proj/bn_proj
+    - InvertedResidual: conv_pw/bn1, conv_dw/bn2, conv_pwl/bn3
+      -> conv_pw/bn_pw, conv_dw/bn_dw, conv_proj/bn_proj
+    - EdgeResidual (fused, V2): conv_exp/bn1, conv_pwl/bn2
+      -> conv_exp/bn_exp, conv_proj/bn_proj
+    - se.conv_reduce / se.conv_expand -> se.reduce / se.expand
+    BatchNorm running stats land in the ``batch_stats`` collection.
+    """
+    import copy
+
+    new_p = copy.deepcopy(params)
+    new_bs = copy.deepcopy(batch_stats)
+    n = 0
+
+    def put(tree, path, val):
+        nonlocal n
+        node = tree
+        for p in path[:-1]:
+            if p not in node:
+                return
+            node = node[p]
+        leaf = path[-1]
+        if leaf not in node:
+            return
+        if tuple(node[leaf].shape) != tuple(val.shape):
+            logger.warning("skip %s: shape %s vs %s", "/".join(path),
+                           val.shape, node[leaf].shape)
+            return
+        node[leaf] = jnp.asarray(val, dtype=node[leaf].dtype)
+        n += 1
+
+    def put_bn(prefix_t: str, path: tuple[str, ...]):
+        if f"{prefix_t}.weight" in sd:
+            put(new_p, path + ("scale",), sd[f"{prefix_t}.weight"])
+            put(new_p, path + ("bias",), sd[f"{prefix_t}.bias"])
+        if f"{prefix_t}.running_mean" in sd:
+            put(new_bs, path + ("mean",), sd[f"{prefix_t}.running_mean"])
+            put(new_bs, path + ("var",), sd[f"{prefix_t}.running_var"])
+
+    def put_conv(key_t: str, path: tuple[str, ...]):
+        if key_t in sd:
+            put(new_p, path + ("kernel",), _t_conv(sd[key_t]))
+        bkey = key_t.replace(".weight", ".bias")
+        if bkey in sd:
+            put(new_p, path + ("bias",), sd[bkey])
+
+    put_conv("conv_stem.weight", ("stem_conv",))
+    put_bn("bn1", ("stem_bn",))
+    put_conv("conv_head.weight", ("head_conv",))
+    put_bn("bn2", ("head_bn",))
+    if "classifier.weight" in sd:
+        put(new_p, ("classifier", "kernel"), _t_linear(sd["classifier.weight"]))
+        put(new_p, ("classifier", "bias"), sd["classifier.bias"])
+
+    block_keys = sorted(
+        {
+            (int(m.group(1)), int(m.group(2)))
+            for k in sd
+            if (m := re.match(r"blocks\.(\d+)\.(\d+)\.", k))
+        }
+    )
+    for s, b in block_keys:
+        tp = f"blocks.{s}.{b}"
+        ours = f"stage{s}_block{b}"
+        has_exp_conv = f"{tp}.conv_exp.weight" in sd        # EdgeResidual
+        has_pw = f"{tp}.conv_pw.weight" in sd
+        has_pwl = f"{tp}.conv_pwl.weight" in sd
+        if f"{tp}.conv.weight" in sd:                       # ConvBnAct (V2 fused, expand=1)
+            put_conv(f"{tp}.conv.weight", (ours, "conv_proj"))
+            put_bn(f"{tp}.bn1", (ours, "bn_proj"))
+        elif has_exp_conv:
+            put_conv(f"{tp}.conv_exp.weight", (ours, "conv_exp"))
+            put_bn(f"{tp}.bn1", (ours, "bn_exp"))
+            put_conv(f"{tp}.conv_pwl.weight", (ours, "conv_proj"))
+            put_bn(f"{tp}.bn2", (ours, "bn_proj"))
+        elif has_pw and has_pwl:                            # InvertedResidual
+            put_conv(f"{tp}.conv_pw.weight", (ours, "conv_pw"))
+            put_bn(f"{tp}.bn1", (ours, "bn_pw"))
+            put_conv(f"{tp}.conv_dw.weight", (ours, "conv_dw"))
+            put_bn(f"{tp}.bn2", (ours, "bn_dw"))
+            put_conv(f"{tp}.conv_pwl.weight", (ours, "conv_proj"))
+            put_bn(f"{tp}.bn3", (ours, "bn_proj"))
+        else:                                               # DepthwiseSeparable
+            put_conv(f"{tp}.conv_dw.weight", (ours, "conv_dw"))
+            put_bn(f"{tp}.bn1", (ours, "bn_dw"))
+            put_conv(f"{tp}.conv_pw.weight", (ours, "conv_proj"))
+            put_bn(f"{tp}.bn2", (ours, "bn_proj"))
+        put_conv(f"{tp}.se.conv_reduce.weight", (ours, "se", "reduce"))
+        put_conv(f"{tp}.se.conv_expand.weight", (ours, "se", "expand"))
+    return new_p, new_bs, n
+
+
 def load_checkpoint_into_variables(
     path: str, variables: dict, model_name: str
 ) -> dict:
@@ -250,10 +349,19 @@ def load_checkpoint_into_variables(
     params = variables["params"]
     nested = "backbone" in params
     target = params["backbone"] if nested else params
+    out = dict(variables)
     if "convnext" in model_name:
         new_target, n = import_convnext(sd, target)
     elif model_name.startswith(("vit_", "deit_")):
         new_target, n = import_vit(sd, target)
+    elif "efficientnet" in model_name:
+        bs = variables.get("batch_stats", {})
+        bs_target = bs.get("backbone", bs) if nested else bs
+        new_target, new_bs, n = import_efficientnet(sd, target, bs_target)
+        if nested and "backbone" in bs:
+            out["batch_stats"] = {**bs, "backbone": new_bs}
+        else:
+            out["batch_stats"] = new_bs
     else:
         raise ValueError(
             f"No pretrained import mapping for {model_name!r} yet"
@@ -266,6 +374,5 @@ def load_checkpoint_into_variables(
         new_params["backbone"] = new_target
     else:
         new_params = new_target
-    out = dict(variables)
     out["params"] = new_params
     return out

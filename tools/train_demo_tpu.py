@@ -1,0 +1,69 @@
+"""End-to-end TPU validation: build a reference-scale synthetic dataset
+(35,551 train / 8,889 test images, 44 classes, 60x80 JPEGs on disk), then run
+the real CLI training path for a short run and report throughput/duty cycle.
+
+Usage: python tools/train_demo_tpu.py [epochs=1] [folds=2] [n_train=35551]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    epochs, folds, n_train = 1, 2, 35551
+    for a in sys.argv[1:]:
+        k, v = a.split("=")
+        if k == "epochs":
+            epochs = int(v)
+        elif k == "folds":
+            folds = int(v)
+        elif k == "n_train":
+            n_train = int(v)
+
+    from image_classification_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from image_classification_tpu.core.config import Config
+    from image_classification_tpu.data import make_synthetic_dataset
+    from image_classification_tpu.train.kfold import train_k_fold
+    from image_classification_tpu.utils.logging import setup_logging
+
+    root = os.path.abspath("demo_data")
+    marker = os.path.join(root, f".done_{n_train}")
+    t0 = time.time()
+    if not os.path.exists(marker):
+        print(f"generating synthetic dataset ({n_train} images)...")
+        make_synthetic_dataset(
+            root, n_train=n_train, n_test=200, num_classes=44,
+            native_size=(60, 80), seed=0,
+        )
+        open(marker, "w").write("ok")
+    print(f"dataset ready in {time.time()-t0:.1f}s")
+
+    cfg = Config(
+        train_dir=os.path.join(root, "train"),
+        test_dir=os.path.join(root, "test"),
+        train_csv=os.path.join(root, "train.csv"),
+        test_csv=os.path.join(root, "sample_submission.csv"),
+        submission_path=os.path.join(root, "submission.csv"),
+        model_name="convnext_base",
+        epochs=epochs,
+        num_folds=folds,
+        model_save_path=os.path.join(root, "models"),
+        output_dir=os.path.join(root, "out"),
+        cache_dir=os.path.join(root, ".cache"),
+    ).validate()
+    setup_logging()
+    results = train_k_fold(cfg)
+    for r in results:
+        for h in r.history:
+            print(json.dumps({"fold": r.fold, **h}))
+
+
+if __name__ == "__main__":
+    main()
