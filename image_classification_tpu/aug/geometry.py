@@ -49,10 +49,11 @@ def bilinear_gather(img: jnp.ndarray, coords_yx: jnp.ndarray) -> jnp.ndarray:
     Ho, Wo = coords_yx.shape[1:3]
     y = coords_yx[..., 0]
     x = coords_yx[..., 1]
+    wdt = img.dtype if jnp.issubdtype(img.dtype, jnp.floating) else jnp.float32
     y0 = jnp.floor(y)
     x0 = jnp.floor(x)
-    wy = (y - y0)[..., None]
-    wx = (x - x0)[..., None]
+    wy = (y - y0)[..., None].astype(wdt)
+    wx = (x - x0)[..., None].astype(wdt)
     y0 = y0.astype(jnp.int32)
     x0 = x0.astype(jnp.int32)
     flat_img = img.reshape(B, H * W, C)

@@ -107,7 +107,9 @@ def _equalize(img):
         )
         return lut[vals]
 
-    return jnp.stack([eq_channel(img[..., c]) for c in range(3)], axis=-1)
+    out = jnp.stack([eq_channel(img[..., c]) for c in range(3)], axis=-1)
+    return out.astype(img.dtype if jnp.issubdtype(img.dtype, jnp.floating)
+                      else jnp.float32)
 
 
 def _invert(img):
@@ -119,7 +121,8 @@ def _posterize(img, bits):
     shift = jnp.clip(8 - bits, 0, 8).astype(jnp.int32)
     vals = jnp.clip(img, 0, 255).astype(jnp.int32)
     out = jnp.left_shift(jnp.right_shift(vals, shift), shift)
-    return out.astype(jnp.float32)
+    return out.astype(img.dtype if jnp.issubdtype(img.dtype, jnp.floating)
+                      else jnp.float32)
 
 
 def _solarize(img, threshold):
@@ -132,7 +135,9 @@ def _solarize_add(img, add):
 
 def _sharpness(img, factor):
     """PIL SMOOTH-kernel blend: out = blur + factor * (img - blur)."""
-    k = jnp.array([[1, 1, 1], [1, 5, 1], [1, 1, 1]], jnp.float32) / 13.0
+    k = (jnp.array([[1, 1, 1], [1, 5, 1], [1, 1, 1]], jnp.float32) / 13.0).astype(
+        img.dtype
+    )
     pad = jnp.pad(img, ((1, 1), (1, 1), (0, 0)), mode="edge")
     blur = jax.lax.conv_general_dilated(
         pad.transpose(2, 0, 1)[None],

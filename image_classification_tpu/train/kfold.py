@@ -127,6 +127,7 @@ def train_k_fold(
     if source is None:
         source = build_source(cfg, manifest, cfg.train_dir)
     results: list[FoldResult] = []
+    shared: dict = {}  # compiled steps reused across folds (see train_fold)
     splits = stratified_kfold(manifest.labels, cfg.num_folds, seed=cfg.fold_seed)
     for fold, (train_idx, val_idx) in enumerate(splits, start=1):
         logger.info(
@@ -141,7 +142,7 @@ def train_k_fold(
             result = train_fold(
                 cfg, train_loader, val_loader, fold=fold,
                 class_counts=class_counts, resume=resume,
-                model_name=model_name,
+                model_name=model_name, shared=shared,
             )
             results.append(result)
             logger.info("fold %d done: best val acc %.4f", fold, result.best_val_acc)

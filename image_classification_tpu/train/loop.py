@@ -11,7 +11,6 @@ throughput/duty-cycle accounting. Mirrors `train_fold`
 from __future__ import annotations
 
 import logging
-import time
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -33,7 +32,7 @@ from image_classification_tpu.train.train_state import (
     swa_update,
 )
 from image_classification_tpu.utils import checkpoint as ckpt
-from image_classification_tpu.utils.metrics import macro_f1
+from image_classification_tpu.utils.metrics import macro_f1, per_class_f1
 from image_classification_tpu.utils.profiler import StepTimer
 
 logger = logging.getLogger("ic_tpu")
@@ -46,6 +45,17 @@ class FoldResult:
     best_variables: dict            # {'params', maybe 'batch_stats'}
     bundle: Any
     history: list[dict] = field(default_factory=list)
+
+
+def _append_metrics(output_dir: str, fold: int, record: dict) -> None:
+    """Per-epoch metrics JSONL (machine-readable observability; the
+    reference only had free-text logs)."""
+    import json
+    import os
+
+    os.makedirs(output_dir, exist_ok=True)
+    with open(os.path.join(output_dir, "metrics.jsonl"), "a") as f:
+        f.write(json.dumps({"fold": fold, **record}) + "\n")
 
 
 def build_lr_schedule(cfg, steps_per_epoch: int):
@@ -71,13 +81,19 @@ def evaluate(eval_step, state: TrainState, loader) -> dict:
         m = eval_step(state, batch)
         acc = m if acc is None else jax.tree.map(jnp_add, acc, m)
     if acc is None:
-        return {"loss": 0.0, "accuracy": 0.0, "macro_f1": 0.0, "confusion": None}
+        return {"loss": 0.0, "accuracy": 0.0, "macro_f1": 0.0,
+                "min_class_f1": 0.0, "confusion": None}
     cm = np.asarray(acc["confusion"])
     count = max(float(acc["count"]), 1.0)
+    f1 = np.asarray(per_class_f1(cm))
+    support = cm.sum(axis=1)
+    present = support > 0
     return {
         "loss": float(acc["loss_sum"]) / count,
         "accuracy": float(acc["correct"]) / count,
         "macro_f1": float(macro_f1(cm)),
+        # the reference's headline imbalance metric (progress.md:391-393)
+        "min_class_f1": float(f1[present].min()) if present.any() else 0.0,
         "confusion": cm,
     }
 
@@ -94,8 +110,16 @@ def train_fold(
     class_counts: np.ndarray | None = None,
     resume: bool = False,
     model_name: str | None = None,
+    shared: dict | None = None,
 ) -> FoldResult:
-    bundle = create_model(cfg, model_name)
+    """``shared``: an optional dict persisted across folds by the K-fold
+    orchestrator; compiled train/eval steps (and the model bundle) are reused
+    between folds — XLA compiles of the full step cost minutes, and every
+    fold's model is identical by construction (only the params differ)."""
+    shared = shared if shared is not None else {}
+    if "bundle" not in shared:
+        shared["bundle"] = create_model(cfg, model_name)
+    bundle = shared["bundle"]
     root = prng.root_key(cfg.seed)
     fold_key = prng.fold(root, fold)
 
@@ -103,19 +127,30 @@ def train_fold(
     variables = load_pretrained_into(bundle, variables, cfg)
 
     steps_per_epoch = len(train_loader)
-    schedule = build_lr_schedule(cfg, steps_per_epoch)
     plateau = (
         PlateauScheduler(cfg.lr, cfg.plateau_factor, cfg.plateau_patience)
         if cfg.schedule == "plateau"
         else None
     )
-    tx = build_optimizer(cfg, schedule)
-    criterion = build_criterion(
-        cfg,
-        class_counts=None
-        if class_counts is None
-        else jax.numpy.asarray(class_counts),
+    counts_matter = cfg.use_weighted_loss or cfg.use_focal_loss
+    sig = (
+        bundle.name,
+        steps_per_epoch,
+        tuple(class_counts) if (counts_matter and class_counts is not None) else None,
     )
+    if shared.get("sig") != sig:
+        shared["sig"] = sig
+        shared["tx"] = build_optimizer(cfg, build_lr_schedule(cfg, steps_per_epoch))
+        shared["criterion"] = build_criterion(
+            cfg,
+            class_counts=None
+            if class_counts is None
+            else jax.numpy.asarray(class_counts),
+        )
+        shared["step_cache"] = {}
+        shared["eval_step"] = None
+    tx = shared["tx"]
+    criterion = shared["criterion"]
     state = create_train_state(
         variables, tx, use_ema=cfg.use_ema, use_swa=cfg.use_swa
     )
@@ -128,8 +163,9 @@ def train_fold(
             logger.info("fold %d: resumed at epoch %d", fold, start_epoch)
 
     # Progressive resizing (`config.py:12` flag): earlier epochs train at
-    # smaller inputs; each distinct size is its own compiled step.
-    step_cache: dict[tuple[int, int], Any] = {}
+    # smaller inputs; each distinct size is its own compiled step. The cache
+    # lives in ``shared`` so later folds reuse compiled executables.
+    step_cache: dict[tuple[int, int], Any] = shared["step_cache"]
 
     def train_step_for(epoch: int):
         if cfg.progressive_resizing:
@@ -148,7 +184,9 @@ def train_fold(
             )
         return step_cache[size]
 
-    eval_step = jax.jit(make_eval_step(bundle, cfg))
+    if shared.get("eval_step") is None:
+        shared["eval_step"] = jax.jit(make_eval_step(bundle, cfg))
+    eval_step = shared["eval_step"]
 
     best_val_acc = -1.0
     best_variables: dict = {}
@@ -193,9 +231,11 @@ def train_fold(
             "val_loss": val["loss"],
             "val_acc": val["accuracy"],
             "val_macro_f1": val["macro_f1"],
+            "val_min_class_f1": val["min_class_f1"],
             **perf,
         }
         history.append(record)
+        _append_metrics(cfg.output_dir, fold, record)
         logger.info(
             "fold %d epoch %d/%d: train %.4f/%.4f val %.4f/%.4f f1 %.4f "
             "(%.1f img/s, duty %.1f%%)",
