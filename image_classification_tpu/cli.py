@@ -46,6 +46,9 @@ def cmd_train(args) -> None:
     logger = setup_logging(os.path.join(cfg.output_dir, "train.log"))
     os.makedirs(cfg.model_save_path, exist_ok=True)
     os.makedirs(cfg.output_dir, exist_ok=True)
+    from image_classification_tpu.parallel.distributed import initialize
+
+    initialize()  # no-op on a single host
     mesh = build_mesh(MeshSpec(cfg.mesh_data, cfg.mesh_model))
     logger.info("devices: %s, mesh: %s", jax.devices(), dict(mesh.shape))
     if cfg.debug_nans:

@@ -148,6 +148,9 @@ class Config:
     schedule_horizon: str = "microbatches"
     plateau_factor: float = 0.1         # reference `previous/V1-effb0/train.py:203-206`
     plateau_patience: int = 3
+    # V1 stepped ReduceLROnPlateau on *train* accuracy
+    # (`previous/V1-effb0/train.py:227`); "val_acc" is the saner default.
+    plateau_metric: str = "val_acc"
 
     # --------------------------------------------------------- advanced train
     compute_dtype: str = "bfloat16"     # replaces AMP fp16+GradScaler

@@ -1,3 +1,4 @@
+from image_classification_tpu.parallel import distributed
 from image_classification_tpu.parallel.mesh import (
     MeshSpec,
     build_mesh,

@@ -1,0 +1,62 @@
+"""Multi-host (multi-process) runtime support.
+
+On a real multi-host slice (e.g. v4-32), each host runs this same program;
+``initialize()`` wires jax.distributed from the standard TPU environment,
+and ``host_local_batch_to_global`` assembles a globally-sharded batch from
+each host's local shard — the per-host input pipeline feeds only its own
+devices, which is the scaling story for the data loader (each host decodes
+1/num_hosts of the dataset).
+
+Single-host behavior is unchanged: initialize() is a no-op and
+host_local_batch_to_global degenerates to a plain sharded device_put.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any
+
+import jax
+import numpy as np
+
+logger = logging.getLogger("ic_tpu")
+
+
+def initialize() -> None:
+    """Call once at startup on multi-host deployments. Safe to call on a
+    single host (no-op)."""
+    import os
+
+    if jax.process_count() > 1:
+        return  # already initialized
+    if os.environ.get("COORDINATOR_ADDRESS") or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS"
+    ):
+        jax.distributed.initialize()
+        logger.info(
+            "jax.distributed initialized: process %d/%d",
+            jax.process_index(), jax.process_count(),
+        )
+
+
+def num_hosts() -> int:
+    return jax.process_count()
+
+
+def host_shard_indices(n: int) -> np.ndarray:
+    """The slice of dataset indices this host is responsible for."""
+    k = jax.process_index()
+    h = jax.process_count()
+    per = -(-n // h)
+    return np.arange(k * per, min((k + 1) * per, n))
+
+
+def host_local_batch_to_global(sharding, local_batch: Any):
+    """Assemble a global jax.Array from per-host local data. The local
+    batch's leading dim must be global_batch / num_hosts."""
+    if jax.process_count() == 1:
+        return jax.device_put(local_batch, sharding)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sharding, x),
+        local_batch,
+    )

@@ -125,6 +125,9 @@ def train_fold(
 
     variables = bundle.init(prng.fold_name(fold_key, "init"))
     variables = load_pretrained_into(bundle, variables, cfg)
+    n_params = sum(x.size for x in jax.tree.leaves(variables["params"]))
+    logger.info("fold %d: %s with %.2fM parameters", fold, bundle.name,
+                n_params / 1e6)
 
     steps_per_epoch = len(train_loader)
     plateau = (
@@ -270,7 +273,8 @@ def train_fold(
         if plateau is not None:
             from image_classification_tpu.train.optim import set_learning_rate
 
-            new_lr = plateau.step(val["accuracy"])
+            metric = train_acc if cfg.plateau_metric == "train_acc" else val["accuracy"]
+            new_lr = plateau.step(metric)
             state = state.replace(
                 opt_state=set_learning_rate(state.opt_state, new_lr)
             )

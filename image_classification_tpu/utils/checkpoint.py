@@ -81,6 +81,18 @@ def load_best(save_dir: str, fold: int, template: dict) -> tuple[dict, dict]:
     return load_tree(path, template), load_metadata(path)
 
 
+def select_best_fold(save_dir: str, folds: list[int]) -> tuple[int, float]:
+    """Pick the fold checkpoint with the highest stored val_acc — the
+    notebook pipeline's best-checkpoint selection (`example.py:452-460`)."""
+    best_fold, best_acc = folds[0], -1.0
+    for fold in folds:
+        meta = load_metadata(best_path(save_dir, fold))
+        acc = float(meta.get("val_acc", -1.0))
+        if acc > best_acc:
+            best_fold, best_acc = fold, acc
+    return best_fold, best_acc
+
+
 # --------------------------------------------------------------- full state
 
 def resume_path(output_dir: str, fold: int) -> str:

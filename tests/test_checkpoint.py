@@ -54,3 +54,13 @@ def test_overwrite_best(tmp_path, state):
     np.testing.assert_array_equal(
         np.asarray(tree["params"]["dense"]["kernel"]), 2.0
     )
+
+
+def test_select_best_fold(tmp_path, state):
+    from image_classification_tpu.utils.checkpoint import select_best_fold
+
+    ckpt.save_best(str(tmp_path), 1, state.params, None, 0.80)
+    ckpt.save_best(str(tmp_path), 2, state.params, None, 0.91)
+    ckpt.save_best(str(tmp_path), 3, state.params, None, 0.85)
+    fold, acc = select_best_fold(str(tmp_path), [1, 2, 3])
+    assert fold == 2 and acc == pytest.approx(0.91)
