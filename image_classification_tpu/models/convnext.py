@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from image_classification_tpu.models.layers import (
     DropPath,
+    PatchConv,
     drop_path_rates,
     gelu_exact,
     global_avg_pool,
@@ -85,8 +86,10 @@ class ConvNeXt(nn.Module):
         return_features: bool = False,
     ):
         x = x.astype(self.dtype)
-        x = nn.Conv(self.dims[0], (4, 4), strides=(4, 4), dtype=self.dtype,
-                    name="stem_conv")(x)
+        # stem & downsamples are stride==kernel convs -> space-to-depth
+        # matmuls (see layers.PatchConv; params identical to nn.Conv)
+        x = PatchConv(self.dims[0], patch=4, dtype=self.dtype,
+                      name="stem_conv")(x)
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="stem_norm")(x)
         dp = drop_path_rates(self.drop_path_rate, self.depths)
         features = []

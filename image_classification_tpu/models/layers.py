@@ -57,6 +57,64 @@ class SqueezeExcite(nn.Module):
         return x * jax.nn.sigmoid(s)
 
 
+def patch_conv(
+    x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray | None, patch: int
+) -> jnp.ndarray:
+    """Non-overlapping PxP/stride-P conv as space-to-depth + matmul.
+
+    Stride-P kernel-P convs (ConvNeXt stem 4x4/4, downsamples 2x2/2, ViT
+    patch embed) are exactly a reshape of PxP patches into channels followed
+    by a 1x1 matmul. XLA's conv path tiles C_in on the 128-lane axis — for
+    the 3-channel stem that is 2% lane utilization; the matmul form uses the
+    MXU cleanly. Bit-identical math; kernel keeps its conv shape
+    (P, P, Cin, Cout) so checkpoints are unaffected.
+    """
+    B, H, W, Cin = x.shape
+    P = patch
+    if H % P or W % P:  # fall back for odd sizes
+        out = jax.lax.conv_general_dilated(
+            x, kernel, (P, P), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return out if bias is None else out + bias
+    x = x.reshape(B, H // P, P, W // P, P, Cin)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // P, W // P, P * P * Cin)
+    w = kernel.reshape(P * P * Cin, -1)
+    out = jax.lax.dot_general(
+        x, w,
+        dimension_numbers=(((3,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    return out if bias is None else out + bias.astype(out.dtype)
+
+
+class PatchConv(nn.Module):
+    """Drop-in for nn.Conv with kernel_size == stride (params identical)."""
+
+    features: int
+    patch: int
+    dtype: Any = jnp.bfloat16
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.patch, self.patch, cin, self.features),
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,))
+            if self.use_bias
+            else None
+        )
+        return patch_conv(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            None if bias is None else bias, self.patch,
+        )
+
+
 def drop_path_rates(total: float, depths: tuple[int, ...]) -> list[list[float]]:
     """Linearly increasing stochastic-depth schedule across all blocks."""
     n = sum(depths)

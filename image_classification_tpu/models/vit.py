@@ -79,10 +79,10 @@ class VisionTransformer(nn.Module):
     ):
         B, H, W, _ = x.shape
         x = x.astype(self.dtype)
-        x = nn.Conv(
-            self.dim, (self.patch, self.patch),
-            strides=(self.patch, self.patch), dtype=self.dtype,
-            name="patch_embed",
+        from image_classification_tpu.models.layers import PatchConv
+
+        x = PatchConv(
+            self.dim, patch=self.patch, dtype=self.dtype, name="patch_embed"
         )(x)
         n_patches = (H // self.patch) * (W // self.patch)
         x = x.reshape(B, n_patches, self.dim)
