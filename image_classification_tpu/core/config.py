@@ -106,6 +106,9 @@ class Config:
     aux_weight: float = 0.4             # reference `config.py:23`
     drop_rate: float = 0.0              # reference `V3.1/config.py:72`
     drop_path_rate: float = 0.0         # reference `V3.1/config.py:73`
+    # exact erf GELU matches torch/timm weights (parity default); tanh
+    # approximation is ~10% faster on the VPU
+    gelu_approximate: bool = False
     freeze_stages: int = 0              # reference `V3.1/...:399-403`
     ensemble_models: tuple[str, ...] = ()  # reference `previous/V2-convbase/config.py:46-51`
     ensemble_weights: tuple[float, ...] = ()

@@ -21,13 +21,13 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from image_classification_tpu.models.layers import (
     DropPath,
     PatchConv,
     drop_path_rates,
-    gelu_exact,
     global_avg_pool,
 )
 
@@ -50,6 +50,7 @@ class ConvNeXtBlock(nn.Module):
     drop_path: float = 0.0
     layer_scale_init: float = 1e-6
     dtype: Any = jnp.bfloat16
+    gelu_approximate: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
@@ -60,7 +61,7 @@ class ConvNeXtBlock(nn.Module):
         )(x)
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         x = nn.Dense(4 * self.dim, dtype=self.dtype, name="mlp_fc1")(x)
-        x = gelu_exact(x)
+        x = jax.nn.gelu(x, approximate=self.gelu_approximate)
         x = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(x)
         gamma = self.param(
             "gamma", nn.initializers.constant(self.layer_scale_init), (self.dim,)
@@ -77,6 +78,7 @@ class ConvNeXt(nn.Module):
     drop_path_rate: float = 0.0
     drop_rate: float = 0.0
     dtype: Any = jnp.bfloat16
+    gelu_approximate: bool = False
 
     @nn.compact
     def __call__(
@@ -105,6 +107,7 @@ class ConvNeXt(nn.Module):
             for j in range(depth):
                 x = ConvNeXtBlock(
                     dim, drop_path=dp[i][j], dtype=self.dtype,
+                    gelu_approximate=self.gelu_approximate,
                     name=f"stage{i}_block{j}",
                 )(x, deterministic)
             if i > 0:

@@ -91,7 +91,10 @@ def create_model(cfg, model_name: str | None = None) -> ModelBundle:
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     kwargs["dtype"] = dtype
     if family == "convnext":
-        backbone = build_convnext(name, cfg.num_classes, **kwargs)
+        backbone = build_convnext(
+            name, cfg.num_classes, gelu_approximate=cfg.gelu_approximate,
+            **kwargs,
+        )
     elif family == "efficientnet":
         backbone = build_efficientnet(name, cfg.num_classes, **kwargs)
     else:
