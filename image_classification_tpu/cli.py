@@ -136,8 +136,9 @@ def main() -> None:
         sp.add_argument("--config", default=None, help="JSON config file")
         sp.add_argument("--resume", action="store_true",
                         help="resume folds from full-state checkpoints")
-        sp.add_argument("--folds", type=int, nargs="*", default=None,
-                        help="(predict) fold checkpoints to ensemble")
+        sp.add_argument("--folds", type=lambda s: [int(x) for x in s.split(",")],
+                        default=None,
+                        help="(predict) fold checkpoints to ensemble, e.g. --folds 1,2,3")
         sp.add_argument("overrides", nargs="*", help="key=value overrides")
         sp.set_defaults(fn=fn)
     args = p.parse_args()

@@ -200,6 +200,13 @@ class Config:
                 raise KeyError(f"Unknown config key: {k!r}")
             if isinstance(v, list):
                 v = tuple(v)
+            ftype = str(fields[k].type)
+            # coerce JSON ints to the declared float fields (a CLI override
+            # like distortion_prob=0 must not become an int downstream)
+            if ftype.startswith("float") and isinstance(v, int) and not isinstance(v, bool):
+                v = float(v)
+            if ftype.startswith("int") and isinstance(v, float) and v.is_integer():
+                v = int(v)
             kwargs[k] = v
         return cls(**kwargs)
 
