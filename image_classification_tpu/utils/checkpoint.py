@@ -40,11 +40,15 @@ def save_tree(path: str, tree: Any, metadata: dict | None = None) -> None:
 
 
 def load_tree(path: str, template: Any) -> Any:
+    """Restore array leaves as host numpy (device placement/sharding is the
+    caller's job — restoring as jax.Array would require sharding specs)."""
+    import numpy as np
+
     path = os.path.abspath(path)
     restore_args = jax.tree.map(
-        lambda x: ocp.RestoreArgs(restore_type=type(x))
-        if not hasattr(x, "shape")
-        else ocp.ArrayRestoreArgs(dtype=x.dtype),
+        lambda x: ocp.RestoreArgs(restore_type=np.ndarray)
+        if hasattr(x, "shape")
+        else ocp.RestoreArgs(restore_type=type(x)),
         template,
     )
     return _ckptr().restore(path, item=template, restore_args=restore_args)
