@@ -4,8 +4,10 @@ The reference wraps the dataset so each sample, with p=0.5, is mixed with a
 *uniformly random second sample* — decoding and augmenting it a second time
 on the CPU (`dataset.py:70-190`, dispatch at `:157-190`). The TPU-native
 equivalent mixes *inside the jitted train step* against a random permutation
-of the already-augmented batch: identical distribution over pairs (partner is
-uniform over the data order), zero extra IO.
+of the already-augmented batch — zero extra IO. (Partner choice is uniform
+within the shuffled batch rather than uniform over the whole dataset; with a
+shuffled loader the marginal partner distribution is the same, the only
+difference being without- vs with-replacement within a batch.)
 
 Semantics preserved exactly (per sample, not per batch):
 - Bernoulli(mix_prob) gate; unmixed samples still get one-hot labels
