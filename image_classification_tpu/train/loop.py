@@ -222,11 +222,11 @@ def train_fold(
         jax.block_until_ready(state.params)
         if profiled and cfg.profile_dir and epoch == start_epoch + 1:
             jax.profiler.stop_trace()
+        perf = timer.summary()  # train-only window (before validation)
         train_loss = float(np.mean([float(l) for l in losses])) if losses else 0.0
         train_acc = float(np.mean([float(a) for a in accs])) if accs else 0.0
 
         val = evaluate(eval_step, state, val_loader)
-        perf = timer.summary()
         record = {
             "epoch": epoch,
             "train_loss": train_loss,
