@@ -127,3 +127,46 @@ def test_resume_from_checkpoint(smoke_cfg):
     # resumed from epoch 4 (0-based) -> exactly 1 new epoch recorded
     assert len(result.history) == 1
     assert result.history[0]["epoch"] == 4
+
+
+def test_imbalance_swa_pipeline(tmp_path_factory):
+    """V3.1/V3-style recipe end-to-end: weighted sampler + focal loss +
+    minority oversampling + SWA finalization."""
+    from image_classification_tpu.core.config import Config as C
+
+    root = str(tmp_path_factory.mktemp("swa"))
+    ds = make_synthetic_dataset(
+        root, n_train=120, n_test=10, num_classes=6, native_size=(24, 32), seed=11
+    )
+    cfg = C(
+        train_dir=ds["train_dir"], test_dir=ds["test_dir"],
+        train_csv=ds["train_csv"], test_csv=ds["test_csv"],
+        num_classes=6, native_size=(24, 32), image_size=(32, 32),
+        model_name="convnext_atto", use_deep_supervision=False,
+        use_ema=False, batch_size=16, gradient_accumulation_steps=2,
+        epochs=3, num_folds=2, compute_dtype="float32",
+        use_decode_cache=False,
+        model_save_path=os.path.join(root, "models"),
+        output_dir=os.path.join(root, "out"),
+        distortion_prob=0.0, noise_blur_prob=0.0, color_shift_prob=0.0,
+        color_jitter_prob=0.0, random_erasing_prob=0.0,
+        mixup_alpha=0.0, cutmix_alpha=0.0, patience=10,
+        use_sampler=True, use_focal_loss=True,
+        oversample_min_samples=4,
+        use_swa=True, swa_start_epoch=2,
+    ).validate()
+    from image_classification_tpu.data.manifest import Manifest
+    from image_classification_tpu.data.splits import stratified_kfold
+    from image_classification_tpu.train.kfold import build_source, make_fold_loaders
+    from image_classification_tpu.train.loop import train_fold
+
+    manifest = Manifest.from_csv(cfg.train_csv, num_classes=6)
+    source = build_source(cfg, manifest, cfg.train_dir)
+    tr, va = next(iter(stratified_kfold(manifest.labels, 2, 42)))
+    tl, vl, train_labels = make_fold_loaders(cfg, source, manifest, tr, va)
+    counts = np.bincount(train_labels, minlength=6)
+    assert counts.min() >= 4  # oversampling applied
+    result = train_fold(cfg, tl, vl, fold=1, class_counts=counts)
+    assert len(result.history) == 3
+    assert np.isfinite(result.history[-1]["train_loss"])
+    assert result.best_val_acc >= 0.0
