@@ -19,7 +19,6 @@ back to NHWC outside (cheap relative to the saved HBM traffic).
 
 from __future__ import annotations
 
-import functools
 import os
 
 import jax

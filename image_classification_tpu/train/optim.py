@@ -74,14 +74,15 @@ def set_learning_rate(opt_state, lr: float):
     import jax.numpy as jnp
 
     def visit(node):
-        if isinstance(node, optax.InjectStatefulHyperparamsState) or (
-            hasattr(node, "hyperparams") and "learning_rate" in getattr(node, "hyperparams", {})
-        ):
+        if hasattr(node, "hyperparams") and "learning_rate" in node.hyperparams:
             hp = dict(node.hyperparams)
             hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
             return node._replace(hyperparams=hp)
-        if isinstance(node, tuple) and not hasattr(node, "hyperparams"):
-            return type(node)(*(visit(c) for c in node))
+        if isinstance(node, tuple):
+            children = tuple(visit(c) for c in node)
+            if hasattr(node, "_fields"):  # namedtuple
+                return type(node)(*children)
+            return children
         return node
 
     return visit(opt_state)

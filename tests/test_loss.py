@@ -150,3 +150,25 @@ def test_plateau_scheduler():
     assert s.step(0.4) == 1.0     # bad 2
     assert s.step(0.4) == pytest.approx(0.1)  # bad 3 > patience -> drop
     assert s.step(0.9) == pytest.approx(0.1)  # new best, lr stays
+
+
+def test_plateau_optimizer_lr_injection():
+    """schedule='plateau' + set_learning_rate must change the effective LR."""
+    import jax
+    import optax
+
+    from image_classification_tpu.core.config import Config
+    from image_classification_tpu.train.optim import build_optimizer, set_learning_rate
+
+    cfg = Config(schedule="plateau", lr=0.1, gradient_clip_val=1.0)
+    tx = build_optimizer(cfg, cfg.lr)
+    params = {"w": jnp.ones((4,))}
+    opt_state = tx.init(params)
+    grads = {"w": jnp.full((4,), 0.01)}
+
+    u1, st = tx.update(grads, opt_state, params)
+    opt_state2 = set_learning_rate(opt_state, 0.001)
+    u2, _ = tx.update(grads, opt_state2, params)
+    # AdamW normalizes gradient magnitude, so update scales ~ with LR
+    ratio = float(jnp.abs(u1["w"][0]) / jnp.abs(u2["w"][0]))
+    assert ratio == pytest.approx(100.0, rel=0.05)
