@@ -23,7 +23,6 @@ from image_classification_tpu.aug.color import (
     _adjust_brightness,
     _adjust_contrast,
     _adjust_saturation,
-    rgb_to_grayscale,
 )
 from image_classification_tpu.aug.geometry import bilinear_gather, output_grid
 

@@ -121,6 +121,10 @@ def cmd_predict(args) -> None:
 
 
 def cmd_bench(args) -> None:
+    # bench.py lives at the repo root (the driver's benchmark contract)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo_root not in sys.path:
+        sys.path.insert(0, repo_root)
     sys.argv = ["bench.py"]
     import bench
 

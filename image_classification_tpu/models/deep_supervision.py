@@ -9,7 +9,6 @@ global-average-pool -> Linear; forward returns (main_logits, aux1, aux2, ...)
 
 from __future__ import annotations
 
-from typing import Any
 
 import flax.linen as nn
 import jax.numpy as jnp

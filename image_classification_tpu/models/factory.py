@@ -14,8 +14,8 @@ random init with a warning, matching the reference's hub-download fallback
 from __future__ import annotations
 
 import logging
-from dataclasses import dataclass, field
-from typing import Any, Callable
+from dataclasses import dataclass
+from typing import Any
 
 import flax.linen as nn
 import jax

@@ -7,7 +7,7 @@ explicit PRNG collections for stochastic depth / dropout.
 
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Any
 
 import flax.linen as nn
 import jax

@@ -20,7 +20,6 @@ Parity notes:
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable
 
 import jax

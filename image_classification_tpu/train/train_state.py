@@ -14,7 +14,7 @@ loss scaling on TPU.
 
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Any
 
 import flax.struct
 import jax
