@@ -99,6 +99,11 @@ def cmd_predict(args) -> None:
 
     variables = bundle.init(jax.random.key(0))
     folds = args.folds or [1]
+    if args.best_fold:
+        # pick the single best checkpoint by stored val_acc (example.py:452-460)
+        best, acc = ckpt.select_best_fold(cfg.model_save_path, folds)
+        logger.info("best fold by stored val_acc: %d (%.4f)", best, acc)
+        folds = [best]
     bundles, var_list = [], []
     for fold in folds:
         template = {"params": variables["params"]}
@@ -143,6 +148,8 @@ def main() -> None:
         sp.add_argument("--folds", type=lambda s: [int(x) for x in s.split(",")],
                         default=None,
                         help="(predict) fold checkpoints to ensemble, e.g. --folds 1,2,3")
+        sp.add_argument("--best-fold", action="store_true",
+                        help="(predict) use only the fold with the best stored val_acc")
         sp.add_argument("overrides", nargs="*", help="key=value overrides")
         sp.set_defaults(fn=fn)
     args = p.parse_args()
