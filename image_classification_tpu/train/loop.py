@@ -32,6 +32,7 @@ from image_classification_tpu.train.train_state import (
     swa_update,
 )
 from image_classification_tpu.utils import checkpoint as ckpt
+from image_classification_tpu.utils.lr_monitor import LRMonitor
 from image_classification_tpu.utils.metrics import macro_f1, per_class_f1
 from image_classification_tpu.utils.profiler import StepTimer
 
@@ -59,16 +60,28 @@ def _append_metrics(output_dir: str, fold: int, record: dict) -> None:
 
 
 def build_lr_schedule(cfg, steps_per_epoch: int):
-    """Cosine horizon sizing preserves the reference's microbatch quirk
-    (see train/schedule.py docstring)."""
+    """Cosine horizon sizing.
+
+    The schedule count advances once per *optimizer* step (one ``tx.update``
+    per loader batch; microbatching is internal to the jitted step), and
+    training runs ``steps_per_epoch * epochs`` optimizer steps total.
+
+    - ``schedule_horizon='microbatches'`` (default, parity mode) reproduces
+      the reference quirk (`train_advanced_v4.py:628-634` vs `:233-234`):
+      the horizon is sized in microbatch units
+      (``steps_per_epoch * epochs * accum``) while the count advances in
+      optimizer steps, so training ends mid-cosine at progress ``1/accum``.
+    - ``schedule_horizon='steps'`` sizes the horizon in optimizer steps, so
+      the cosine completes exactly at the end of training.
+    """
     if cfg.schedule == "none":
         return cfg.lr
     if cfg.schedule == "plateau":
         return cfg.lr  # host-adjusted via PlateauScheduler + optimizer rebuild
     if cfg.schedule_horizon == "microbatches":
-        total = steps_per_epoch * cfg.epochs
+        total = steps_per_epoch * cfg.epochs * cfg.gradient_accumulation_steps
     else:
-        total = (steps_per_epoch * cfg.epochs) // cfg.gradient_accumulation_steps
+        total = steps_per_epoch * cfg.epochs
     warmup = int(total * cfg.warmup_ratio)
     return warmup_cosine_schedule(cfg.lr, warmup, total, cfg.min_lr)
 
@@ -159,10 +172,11 @@ def train_fold(
     )
 
     start_epoch = 0
+    resumed_host: dict = {}
     if resume:
         restored = ckpt.load_train_state(cfg.output_dir, fold, state)
         if restored is not None:
-            state, start_epoch = restored
+            state, start_epoch, resumed_host = restored
             logger.info("fold %d: resumed at epoch %d", fold, start_epoch)
 
     # Progressive resizing (`config.py:12` flag): earlier epochs train at
@@ -191,11 +205,27 @@ def train_fold(
         shared["eval_step"] = jax.jit(make_eval_step(bundle, cfg))
     eval_step = shared["eval_step"]
 
-    best_val_acc = -1.0
+    # Host-side fold bookkeeping — restored on resume so a resumed fold is
+    # the exact continuation (no re-saving a worse "best", no patience reset).
+    best_val_acc = float(resumed_host.get("best_val_acc", -1.0))
     best_variables: dict = {}
-    patience_counter = 0
+    patience_counter = int(resumed_host.get("patience_counter", 0))
+    if plateau is not None and resumed_host.get("plateau"):
+        plateau.load_state_dict(resumed_host["plateau"])
+    if best_val_acc > -1.0:
+        # reload the on-disk best so FoldResult carries it even if no
+        # post-resume epoch improves on it
+        template = {"params": jax.tree.map(np.asarray, state.params)}
+        if state.batch_stats is not None:
+            template["batch_stats"] = jax.tree.map(np.asarray, state.batch_stats)
+        try:
+            best_variables, _ = ckpt.load_best(cfg.model_save_path, fold, template)
+        except Exception:
+            logger.warning("fold %d: could not reload best checkpoint", fold)
     history: list[dict] = []
     step_key = prng.fold_name(fold_key, "steps")
+    lr_schedule = build_lr_schedule(cfg, steps_per_epoch)
+    lr_monitor = LRMonitor()
 
     profiled = False
     for epoch in range(start_epoch, cfg.epochs):
@@ -268,8 +298,8 @@ def train_fold(
         else:
             patience_counter += 1
 
-        ckpt.save_train_state(cfg.output_dir, fold, state, epoch, cfg)
-
+        # plateau step BEFORE the epoch checkpoint so the injected LR and the
+        # scheduler internals are part of the resumable state
         if plateau is not None:
             from image_classification_tpu.train.optim import set_learning_rate
 
@@ -278,6 +308,24 @@ def train_fold(
             state = state.replace(
                 opt_state=set_learning_rate(state.opt_state, new_lr)
             )
+
+        # LR curve recorder (`V3.1/train_advanced_v3.2.py:98-123`)
+        current_lr = (
+            plateau.lr
+            if plateau is not None
+            else (float(lr_schedule(int(state.step))) if callable(lr_schedule)
+                  else float(lr_schedule))
+        )
+        lr_monitor.record(int(state.step), current_lr)
+
+        ckpt.save_train_state(
+            cfg.output_dir, fold, state, epoch, cfg,
+            host_state={
+                "best_val_acc": best_val_acc,
+                "patience_counter": patience_counter,
+                "plateau": plateau.state_dict() if plateau is not None else None,
+            },
+        )
 
         if patience_counter >= cfg.patience:
             logger.info("fold %d: early stopping after epoch %d", fold, epoch + 1)
@@ -315,6 +363,14 @@ def train_fold(
                 cfg.model_save_path, fold, best_variables["params"],
                 best_variables.get("batch_stats"), best_val_acc,
             )
+
+    if lr_monitor.lrs:
+        import os
+
+        try:
+            lr_monitor.plot(os.path.join(cfg.output_dir, f"lr_curve_fold{fold}.png"))
+        except Exception as e:  # plotting must never kill a training run
+            logger.debug("fold %d: LR plot skipped (%s)", fold, e)
 
     if not best_variables:  # zero epochs or all NaN: fall back to final
         best_variables = {"params": jax.tree.map(np.asarray, state.params)}

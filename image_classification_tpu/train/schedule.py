@@ -69,3 +69,14 @@ class PlateauScheduler:
                 self.lr = max(self.min_lr, self.lr * self.factor)
                 self.bad_epochs = 0
         return self.lr
+
+    def state_dict(self) -> dict:
+        """JSON-serializable internals, persisted in the resume checkpoint."""
+        best = None if self.best == -math.inf else self.best
+        return {"lr": self.lr, "best": best, "bad_epochs": self.bad_epochs}
+
+    def load_state_dict(self, d: dict) -> None:
+        self.lr = float(d["lr"])
+        best = d["best"]
+        self.best = -math.inf if best is None else float(best)
+        self.bad_epochs = int(d["bad_epochs"])

@@ -28,15 +28,29 @@ def _ckptr() -> ocp.PyTreeCheckpointer:
 
 
 def save_tree(path: str, tree: Any, metadata: dict | None = None) -> None:
-    path = os.path.abspath(path)
-    if os.path.exists(path):
-        import shutil
+    """Crash-safe save: write to a temp sibling, then swap into place.
 
-        shutil.rmtree(path)
-    _ckptr().save(path, tree)
+    ``save_train_state`` runs every epoch; deleting the old checkpoint
+    before the new one is durable would leave no resume point if the
+    process dies mid-save (ADVICE r1). The previous checkpoint survives at
+    ``<path>.prev`` until the new one is fully written.
+    """
+    import shutil
+
+    path = os.path.abspath(path)
+    tmp, prev = path + ".tmp", path + ".prev"
+    for stale in (tmp, prev):
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
+    _ckptr().save(tmp, tree)
     if metadata is not None:
-        with open(os.path.join(path, "metadata.json"), "w") as f:
+        with open(os.path.join(tmp, "metadata.json"), "w") as f:
             json.dump(metadata, f, indent=2, default=str)
+    if os.path.exists(path):
+        os.rename(path, prev)
+    os.rename(tmp, path)
+    if os.path.exists(prev):
+        shutil.rmtree(prev)
 
 
 def load_tree(path: str, template: Any) -> Any:
@@ -104,24 +118,46 @@ def resume_path(output_dir: str, fold: int) -> str:
 
 
 def save_train_state(
-    output_dir: str, fold: int, state: Any, epoch: int, cfg: Any
+    output_dir: str,
+    fold: int,
+    state: Any,
+    epoch: int,
+    cfg: Any,
+    host_state: dict | None = None,
 ) -> str:
+    """Full-state epoch checkpoint.
+
+    ``host_state`` carries the trainer's host-side bookkeeping
+    (best_val_acc, patience_counter, plateau-scheduler internals, …) so a
+    resumed fold reproduces the exact continuation — the intent of
+    `V3.1/utils.py:63-93` (model+optimizer+scheduler+epoch), which the
+    reference defined but never wired.
+    """
     path = resume_path(output_dir, fold)
     save_tree(
         path,
         state,
-        {"epoch": epoch, "fold": fold, "config": cfg.to_dict()},
+        {
+            "epoch": epoch,
+            "fold": fold,
+            "config": cfg.to_dict(),
+            "host_state": host_state or {},
+        },
     )
     return path
 
 
 def load_train_state(
     output_dir: str, fold: int, template: Any
-) -> tuple[Any, int] | None:
-    """Returns (state, next_epoch) or None when no checkpoint exists."""
+) -> tuple[Any, int, dict] | None:
+    """Returns (state, next_epoch, host_state) or None when no checkpoint
+    exists. Falls back to the ``.prev`` sibling if a crash interrupted the
+    last save after the old checkpoint was moved aside."""
     path = resume_path(output_dir, fold)
+    if not os.path.exists(path) and os.path.exists(path + ".prev"):
+        os.rename(path + ".prev", path)
     if not os.path.exists(path):
         return None
     meta = load_metadata(path)
     state = load_tree(path, template)
-    return state, int(meta.get("epoch", -1)) + 1
+    return state, int(meta.get("epoch", -1)) + 1, meta.get("host_state", {})

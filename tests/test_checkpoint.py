@@ -29,16 +29,47 @@ def test_save_load_best(tmp_path, state):
 def test_save_load_train_state_roundtrip(tmp_path, state):
     cfg = Config()
     state2 = state.replace(step=state.step + 5)
-    ckpt.save_train_state(str(tmp_path), 2, state2, epoch=3, cfg=cfg)
+    host = {"best_val_acc": 0.77, "patience_counter": 2,
+            "plateau": {"lr": 1e-5, "best": 0.77, "bad_epochs": 1}}
+    ckpt.save_train_state(str(tmp_path), 2, state2, epoch=3, cfg=cfg,
+                          host_state=host)
     restored = ckpt.load_train_state(str(tmp_path), 2, state)
     assert restored is not None
-    rstate, next_epoch = restored
+    rstate, next_epoch, rhost = restored
     assert next_epoch == 4
     assert int(rstate.step) == 5
+    assert rhost == host
     np.testing.assert_array_equal(
         np.asarray(rstate.ema_params["dense"]["kernel"]),
         np.asarray(state.ema_params["dense"]["kernel"]),
     )
+
+
+def test_save_tree_keeps_previous_on_crash(tmp_path, state, monkeypatch):
+    """A crash mid-save must not destroy the last good checkpoint."""
+    cfg = Config()
+    ckpt.save_train_state(str(tmp_path), 1, state, epoch=0, cfg=cfg)
+
+    # simulate dying inside the orbax write of the SECOND save
+    real_save = ckpt._ckptr
+    class Boom(RuntimeError):
+        pass
+
+    def exploding_ckptr():
+        class C:
+            def save(self, path, tree):
+                raise Boom()
+        return C()
+
+    monkeypatch.setattr(ckpt, "_ckptr", exploding_ckptr)
+    with pytest.raises(Boom):
+        ckpt.save_train_state(str(tmp_path), 1, state, epoch=1, cfg=cfg)
+    monkeypatch.setattr(ckpt, "_ckptr", real_save)
+
+    restored = ckpt.load_train_state(str(tmp_path), 1, state)
+    assert restored is not None
+    _, next_epoch, _ = restored
+    assert next_epoch == 1  # the epoch-0 checkpoint survived
 
 
 def test_load_missing_returns_none(tmp_path, state):

@@ -129,6 +129,68 @@ def test_resume_from_checkpoint(smoke_cfg):
     assert result.history[0]["epoch"] == 4
 
 
+def test_resume_is_exact_continuation(tmp_path_factory):
+    """Train 4 epochs straight vs 2 + resume + 2: the post-resume epochs must
+    reproduce the straight run exactly (params, optimizer, EMA, best/patience
+    and plateau-scheduler state are all checkpointed — VERDICT r1 #6)."""
+    from image_classification_tpu.data.manifest import Manifest
+    from image_classification_tpu.data.splits import stratified_kfold
+    from image_classification_tpu.train.kfold import build_source, make_fold_loaders
+    from image_classification_tpu.train.loop import train_fold
+
+    root = str(tmp_path_factory.mktemp("resume_exact"))
+    ds = make_synthetic_dataset(
+        root, n_train=96, n_test=8, num_classes=6, native_size=(24, 32), seed=7
+    )
+
+    def build_cfg(tag, epochs):
+        return Config(
+            train_dir=ds["train_dir"], test_dir=ds["test_dir"],
+            train_csv=ds["train_csv"], test_csv=ds["test_csv"],
+            num_classes=6, native_size=(24, 32), image_size=(32, 32),
+            model_name="convnext_atto", use_deep_supervision=False,
+            batch_size=16, gradient_accumulation_steps=1, epochs=epochs,
+            num_folds=2, lr=2e-3, compute_dtype="float32",
+            use_decode_cache=False,
+            # plateau schedule: no horizon dependence on cfg.epochs, and its
+            # host-side internals must survive the resume
+            schedule="plateau", plateau_patience=1, plateau_factor=0.5,
+            use_ema=True, ema_decay=0.5,
+            distortion_prob=0.0, noise_blur_prob=0.0, color_shift_prob=0.0,
+            color_jitter_prob=0.0, random_erasing_prob=0.0,
+            mixup_alpha=0.0, cutmix_alpha=0.0, patience=10,
+            model_save_path=os.path.join(root, tag, "models"),
+            output_dir=os.path.join(root, tag, "out"),
+        ).validate()
+
+    manifest = Manifest.from_csv(ds["train_csv"], num_classes=6)
+
+    def loaders(cfg):
+        source = build_source(cfg, manifest, cfg.train_dir)
+        train_idx, val_idx = next(iter(stratified_kfold(manifest.labels, 2, 42)))
+        return make_fold_loaders(cfg, source, manifest, train_idx, val_idx)[:2]
+
+    cfg_a = build_cfg("straight", 4)
+    tl, vl = loaders(cfg_a)
+    straight = train_fold(cfg_a, tl, vl, fold=1)
+
+    cfg_b1 = build_cfg("resumed", 2)
+    tl, vl = loaders(cfg_b1)
+    train_fold(cfg_b1, tl, vl, fold=1)
+    cfg_b2 = build_cfg("resumed", 4)
+    tl, vl = loaders(cfg_b2)
+    resumed = train_fold(cfg_b2, tl, vl, fold=1, resume=True)
+
+    assert [r["epoch"] for r in resumed.history] == [2, 3]
+    tail = straight.history[2:]
+    for a, b in zip(tail, resumed.history):
+        for k in ("train_loss", "train_acc", "val_loss", "val_acc"):
+            assert a[k] == pytest.approx(b[k], rel=1e-5, abs=1e-7), (
+                f"epoch {a['epoch']} {k}: straight={a[k]} resumed={b[k]}"
+            )
+    assert resumed.best_val_acc == pytest.approx(straight.best_val_acc, abs=1e-7)
+
+
 def test_imbalance_swa_pipeline(tmp_path_factory):
     """V3.1/V3-style recipe end-to-end: weighted sampler + focal loss +
     minority oversampling + SWA finalization."""

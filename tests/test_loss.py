@@ -141,6 +141,42 @@ def test_schedule_matches_reference_lambda():
     assert float(sched(total)) == pytest.approx(1e-4 * 1e-6, rel=1e-4)
 
 
+def test_schedule_horizon_sizing():
+    """The final-optimizer-step LR in both horizon modes (ADVICE r1 high).
+
+    count advances once per optimizer step; training runs
+    steps_per_epoch*epochs optimizer steps. 'microbatches' (parity) must end
+    mid-cosine at progress 1/accum; 'steps' must complete the full cosine.
+    """
+    import math
+
+    from image_classification_tpu.core.config import Config
+    from image_classification_tpu.train.loop import build_lr_schedule
+
+    steps_per_epoch, epochs, accum, lr = 50, 4, 2, 1e-4
+    final_count = steps_per_epoch * epochs  # optimizer steps actually taken
+
+    cfg_mb = Config(
+        epochs=epochs, gradient_accumulation_steps=accum, lr=lr,
+        warmup_ratio=0.1, schedule_horizon="microbatches",
+    )
+    sched = build_lr_schedule(cfg_mb, steps_per_epoch)
+    total = steps_per_epoch * epochs * accum
+    warm = int(total * 0.1)
+    progress = (final_count - warm) / (total - warm)  # = ~1/accum region
+    expect = lr * max(1e-6, 0.5 * (1 + math.cos(math.pi * progress)))
+    assert float(sched(final_count)) == pytest.approx(expect, rel=1e-5)
+    # mid-cosine: LR must still be a substantial fraction of base, NOT floored
+    assert float(sched(final_count)) > 0.3 * lr
+
+    cfg_steps = cfg_mb.replace(schedule_horizon="steps")
+    sched_s = build_lr_schedule(cfg_steps, steps_per_epoch)
+    # full cosine: the last step sits at the multiplier floor (lr * 1e-6)
+    assert float(sched_s(final_count)) == pytest.approx(lr * 1e-6, rel=1e-4)
+    # ... and was NOT floored an accum-factor earlier
+    assert float(sched_s(final_count // accum)) > 0.3 * lr
+
+
 def test_plateau_scheduler():
     from image_classification_tpu.train.schedule import PlateauScheduler
 
