@@ -37,6 +37,8 @@ class DataLoader:
         pad_last: bool = True,
         mesh: Any = None,
         prefetch_depth: int = 2,
+        process_index: int | None = None,
+        process_count: int | None = None,
     ):
         self.source = source
         self.manifest = manifest
@@ -51,10 +53,23 @@ class DataLoader:
         self.pad_last = pad_last
         self.mesh = mesh
         self.prefetch_depth = prefetch_depth
+        # Explicit process_index/count override jax's values (testable on one
+        # host); on a real multi-host slice the defaults resolve lazily.
+        self._process_index = process_index
+        self._process_count = process_count
         self.epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
+
+    def _process_info(self) -> tuple[int, int]:
+        if self._process_index is not None:
+            return self._process_index, self._process_count or 1
+        if self.mesh is None:
+            return 0, 1
+        import jax
+
+        return jax.process_index(), jax.process_count()
 
     def __len__(self) -> int:
         order_n = len(self.sampler.epoch_indices(0))
@@ -64,6 +79,10 @@ class DataLoader:
 
     # ------------------------------------------------------------- assembly
     def _batches(self) -> Iterator[dict[str, np.ndarray]]:
+        k, h = self._process_info()
+        if h > 1:
+            yield from self._batches_multihost(k, h)
+            return
         order = self.sampler.epoch_indices(self.epoch)
         n = len(order)
         stop = (n // self.batch_size) * self.batch_size if self.drop_last else n
@@ -88,23 +107,64 @@ class DataLoader:
                 "index": ds_idx.astype(np.int64),
             }
 
+    def _batches_multihost(self, k: int, h: int) -> Iterator[dict[str, np.ndarray]]:
+        """Per-host slice of each global batch.
+
+        Every process runs the same seeded sampler, so the global epoch order
+        is identical everywhere; host ``k`` decodes only rows
+        ``[k*per, (k+1)*per)`` of each global batch (1/h of the IO + decode
+        work). Ragged final batches are padded to the full global batch size
+        with mask=False rows so each host's slice has static shape.
+        """
+        if self.batch_size % h != 0:
+            raise ValueError(
+                f"global batch {self.batch_size} not divisible by "
+                f"process count {h}"
+            )
+        if self.drop_last is False and not self.pad_last:
+            raise ValueError("multi-host loading requires pad_last or drop_last")
+        per = self.batch_size // h
+        order = self.sampler.epoch_indices(self.epoch)
+        n = len(order)
+        stop = (n // self.batch_size) * self.batch_size if self.drop_last else n
+        for start in range(0, stop, self.batch_size):
+            sel = order[start : start + self.batch_size]
+            rows = np.full(self.batch_size, -1, dtype=np.int64)
+            rows[: len(sel)] = sel
+            local = rows[k * per : (k + 1) * per]
+            valid = local >= 0
+            ds_idx = np.where(valid, self.indices[np.maximum(local, 0)], -1)
+            decoded = self.source.get_batch(ds_idx[valid])
+            images = np.zeros((per,) + decoded.shape[1:], decoded.dtype)
+            images[valid] = decoded
+            labels = np.zeros(per, np.int32)
+            labels[valid] = self.manifest.labels[ds_idx[valid]].astype(np.int32)
+            yield {
+                "image": images,
+                "label": labels,
+                "mask": valid,
+                "index": ds_idx,
+            }
+
     def __iter__(self) -> Iterator[dict[str, Any]]:
         it = self._batches()
         if self.prefetch_depth > 0:
             it = _background(it, self.prefetch_depth)
         if self.mesh is not None:
-            from image_classification_tpu.parallel import shard_batch
+            from image_classification_tpu.parallel.distributed import (
+                host_local_batch_to_global,
+            )
+            from image_classification_tpu.parallel.mesh import batch_sharding
 
+            sharding = batch_sharding(self.mesh)
             for batch in it:
-                image, label, mask = shard_batch(
-                    self.mesh, batch["image"], batch["label"], batch["mask"]
+                # single-process: plain async sharded device_put;
+                # multi-process: global jax.Array from each host's local slice
+                arrays = host_local_batch_to_global(
+                    sharding,
+                    {k: batch[k] for k in ("image", "label", "mask")},
                 )
-                yield {
-                    "image": image,
-                    "label": label,
-                    "mask": mask,
-                    "index": batch["index"],
-                }
+                yield {**arrays, "index": batch["index"]}
         else:
             yield from it
 

@@ -24,19 +24,29 @@ logger = logging.getLogger("ic_tpu")
 
 def initialize() -> None:
     """Call once at startup on multi-host deployments. Safe to call on a
-    single host (no-op)."""
+    single host (no-op).
+
+    Ordering matters: ``jax.distributed.initialize()`` must run before
+    anything initializes the local XLA backend, so the guard uses env
+    detection + ``jax.distributed.is_initialized()`` (both backend-free) —
+    NOT ``jax.process_count()``, which would initialize the backend first
+    and make the subsequent ``initialize()`` raise (ADVICE r1)."""
     import os
 
-    if jax.process_count() > 1:
-        return  # already initialized
-    if os.environ.get("COORDINATOR_ADDRESS") or os.environ.get(
-        "JAX_COORDINATOR_ADDRESS"
-    ):
-        jax.distributed.initialize()
-        logger.info(
-            "jax.distributed initialized: process %d/%d",
-            jax.process_index(), jax.process_count(),
-        )
+    env = os.environ
+    wants_multihost = bool(
+        env.get("COORDINATOR_ADDRESS")
+        or env.get("JAX_COORDINATOR_ADDRESS")
+        or env.get("JAX_NUM_PROCESSES")
+        or env.get("MEGASCALE_COORDINATOR_ADDRESS")
+    )
+    if not wants_multihost or jax.distributed.is_initialized():
+        return
+    jax.distributed.initialize()
+    logger.info(
+        "jax.distributed initialized: process %d/%d",
+        jax.process_index(), jax.process_count(),
+    )
 
 
 def num_hosts() -> int:
