@@ -43,6 +43,11 @@ class Config:
     use_decode_cache: bool = True  # memmap uint8 cache of decoded images
 
     # -------------------------------------------------------- augmentation
+    # Master switch: False makes the train step consume batch['image'] as
+    # already-preprocessed float tensors at image_size (no device aug, no
+    # in-batch mixing). Used for ablations and the torch trajectory-parity
+    # test (identical post-aug inputs to both frameworks).
+    aug_enabled: bool = True
     # Geometric (reference `dataset.py:196-210`)
     rrc_scale: tuple[float, float] = (0.8, 1.0)  # RandomResizedCrop area frac
     rrc_ratio: tuple[float, float] = (0.75, 4.0 / 3.0)
@@ -109,6 +114,15 @@ class Config:
     # exact erf GELU matches torch/timm weights (parity default); tanh
     # approximation is ~10% faster on the VPU
     gelu_approximate: bool = False
+    # ConvNeXt depthwise-conv lowering: "conv" = lax.conv (XLA picks
+    # channel-major layouts around it); "shift" = K^2 shifted FMAs
+    # (layout-neutral, same math/params — see models/layers.ShiftDWConv)
+    dwconv_impl: str = "conv"
+    # Flatten (B,H,W,C)->(BHW,C) around each block's LN+MLP so XLA's
+    # channel-major stage layouts can't decompose the matmuls per sample.
+    # Bit-identical math; +20% step throughput measured on TPU v5e
+    # (319 -> 383 img/s, docs/PERF_NOTES.md round 2).
+    mlp_2d: bool = True
     freeze_stages: int = 0              # reference `V3.1/...:399-403`
     ensemble_models: tuple[str, ...] = ()  # reference `previous/V2-convbase/config.py:46-51`
     ensemble_weights: tuple[float, ...] = ()
@@ -256,7 +270,9 @@ def load_config(
     cfg = Config()
     if path is not None:
         with open(path) as f:
-            cfg = Config.from_dict({**cfg.to_dict(), **json.load(f)})
+            loaded = {k: v for k, v in json.load(f).items()
+                      if not k.startswith("_")}  # "_comment" etc.
+            cfg = Config.from_dict({**cfg.to_dict(), **loaded})
     if overrides:
         cfg = apply_overrides(cfg, overrides)
     return cfg.validate()

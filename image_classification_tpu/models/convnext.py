@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from image_classification_tpu.models.layers import (
     DropPath,
     PatchConv,
+    ShiftDWConv,
     drop_path_rates,
     global_avg_pool,
 )
@@ -51,14 +52,27 @@ class ConvNeXtBlock(nn.Module):
     layer_scale_init: float = 1e-6
     dtype: Any = jnp.bfloat16
     gelu_approximate: bool = False
+    dwconv_impl: str = "conv"   # "conv" (lax.conv) | "shift" (see ShiftDWConv)
+    mlp_2d: bool = False        # flatten (B,H,W,C)->(BHW,C) around LN+MLP
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         shortcut = x
-        x = nn.Conv(
-            self.dim, (7, 7), feature_group_count=self.dim,
-            dtype=self.dtype, name="conv_dw",
-        )(x)
+        if self.dwconv_impl == "shift":
+            x = ShiftDWConv(self.dim, 7, dtype=self.dtype, name="conv_dw")(x)
+        else:
+            x = nn.Conv(
+                self.dim, (7, 7), feature_group_count=self.dim,
+                dtype=self.dtype, name="conv_dw",
+            )(x)
+        shape4 = x.shape
+        if self.mlp_2d:
+            # XLA assigns channel-major layouts ({3,0,2,1}) to small-H/W
+            # stage activations around the depthwise conv, which decomposes
+            # the MLP matmuls into per-sample M=H*W matmuls (~60 TFLOP/s
+            # observed). A rank-2 view forces one row-major relayout copy
+            # (cheap) and lets the matmul see M=B*H*W.
+            x = x.reshape(-1, shape4[-1])
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         x = nn.Dense(4 * self.dim, dtype=self.dtype, name="mlp_fc1")(x)
         x = jax.nn.gelu(x, approximate=self.gelu_approximate)
@@ -67,6 +81,8 @@ class ConvNeXtBlock(nn.Module):
             "gamma", nn.initializers.constant(self.layer_scale_init), (self.dim,)
         )
         x = x * gamma.astype(self.dtype)
+        if self.mlp_2d:
+            x = x.reshape(shape4)
         x = DropPath(self.drop_path)(x, deterministic)
         return shortcut + x
 
@@ -79,6 +95,8 @@ class ConvNeXt(nn.Module):
     drop_rate: float = 0.0
     dtype: Any = jnp.bfloat16
     gelu_approximate: bool = False
+    dwconv_impl: str = "conv"
+    mlp_2d: bool = False
 
     @nn.compact
     def __call__(
@@ -108,6 +126,7 @@ class ConvNeXt(nn.Module):
                 x = ConvNeXtBlock(
                     dim, drop_path=dp[i][j], dtype=self.dtype,
                     gelu_approximate=self.gelu_approximate,
+                    dwconv_impl=self.dwconv_impl, mlp_2d=self.mlp_2d,
                     name=f"stage{i}_block{j}",
                 )(x, deterministic)
             if i > 0:

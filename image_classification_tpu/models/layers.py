@@ -57,6 +57,42 @@ class SqueezeExcite(nn.Module):
         return x * jax.nn.sigmoid(s)
 
 
+class ShiftDWConv(nn.Module):
+    """KxK depthwise conv as K^2 statically-shifted FMAs (no lax.conv).
+
+    XLA lowers depthwise convs on TPU with channel-major activation layouts
+    (`{3,0,2,1}`), forcing relayout copies around every block that depress
+    the neighboring MLP matmuls' MFU (profiled in docs/PERF_NOTES.md). This
+    form is pure elementwise VPU work on whatever layout the matmuls prefer:
+    ``out = bias + sum_{dy,dx} w[dy,dx] * x_pad[:, dy:dy+H, dx:dx+W, :]``.
+    Same math, same parameter shapes/names as ``nn.Conv(features, (K,K),
+    feature_group_count=features)`` so checkpoints are unaffected.
+    """
+
+    features: int
+    kernel_size: int = 7
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        K = self.kernel_size
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (K, K, 1, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        H, W = x.shape[1], x.shape[2]
+        pad = K // 2
+        xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+        w = kernel.astype(self.dtype).reshape(K, K, self.features)
+        out = bias.astype(self.dtype) * jnp.ones((), self.dtype)
+        for dy in range(K):
+            for dx in range(K):
+                out = out + xp[:, dy : dy + H, dx : dx + W, :] * w[dy, dx]
+        return out
+
+
 def patch_conv(
     x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray | None, patch: int
 ) -> jnp.ndarray:

@@ -20,7 +20,11 @@ from typing import Any
 import numpy as np
 
 from image_classification_tpu.data.loader import DataLoader
-from image_classification_tpu.data.manifest import Manifest, distribution_stats
+from image_classification_tpu.data.manifest import (
+    Manifest,
+    distribution_stats,
+    verify_images,
+)
 from image_classification_tpu.data.sampling import (
     SequentialSampler,
     ShuffleSampler,
@@ -124,6 +128,16 @@ def train_k_fold(
         "class distribution: %s",
         distribution_stats(manifest.labels, cfg.num_classes),
     )
+    # Upfront image verification (`previous/V1-effb0/dataset.py:92-107`):
+    # report missing files before training starts; the loader substitutes
+    # fallback images for them, so this warns rather than aborts.
+    missing = verify_images(manifest, cfg.train_dir)
+    if missing:
+        logger.warning(
+            "%d/%d train images missing on disk (first 10: %s); "
+            "fallback images will be substituted",
+            len(missing), len(manifest), missing[:10],
+        )
     if source is None:
         source = build_source(cfg, manifest, cfg.train_dir)
     results: list[FoldResult] = []

@@ -85,14 +85,20 @@ def make_train_step(
 
     def train_step(state: TrainState, batch: dict, base_key: jax.Array):
         key = prng.fold(base_key, state.step)
-        images = train_augment(batch["image"], prng.fold_name(key, "aug"), aug)
         labels = batch["label"]
-        if use_mix:
-            images, targets = mixup_cutmix_batch(
-                images, labels, prng.fold_name(key, "mix"), mix_cfg
-            )
+        if not cfg.aug_enabled:
+            # pre-augmented float inputs (ablations / trajectory parity)
+            images, targets = batch["image"], labels
         else:
-            targets = labels
+            images = train_augment(
+                batch["image"], prng.fold_name(key, "aug"), aug
+            )
+            if use_mix:
+                images, targets = mixup_cutmix_batch(
+                    images, labels, prng.fold_name(key, "mix"), mix_cfg
+                )
+            else:
+                targets = labels
         B = images.shape[0]
         micro = B // accum
         # (B, ...) -> (accum, micro, ...) keeping the sharded batch dim local:
@@ -154,10 +160,13 @@ def make_eval_step(bundle, cfg, use_ema: bool = True) -> Callable:
     (`train_advanced_v4.py:283-315`): deep-supervised models are scored on
     the main head; loss is label-smoothed CE."""
 
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
     def eval_step(state: TrainState, batch: dict):
         params = state.eval_params(use_ema=use_ema and cfg.use_ema)
         images = eval_preprocess(
-            batch["image"], tuple(cfg.image_size), tuple(cfg.mean), tuple(cfg.std)
+            batch["image"], tuple(cfg.image_size), tuple(cfg.mean),
+            tuple(cfg.std), dtype=dtype,
         )
         variables = {"params": params}
         if bundle.has_batch_stats:
@@ -189,9 +198,12 @@ def make_bn_update_step(bundle, cfg) -> Callable:
     (`previous/V3-efb2/train_advanced_v3.0.py:505-507`). No-op for BN-free
     models (the trainer skips calling it)."""
 
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
     def bn_step(params, batch_stats, batch):
         images = eval_preprocess(
-            batch["image"], tuple(cfg.image_size), tuple(cfg.mean), tuple(cfg.std)
+            batch["image"], tuple(cfg.image_size), tuple(cfg.mean),
+            tuple(cfg.std), dtype=dtype,
         )
         _, updates = bundle.module.apply(
             {"params": params, "batch_stats": batch_stats},
@@ -210,9 +222,12 @@ def make_predict_step(bundle, cfg, tta: Callable | None = None) -> Callable:
     With ``tta`` set, averages softmax over the TTA views
     (`train_advanced_v4.py:317-347`)."""
 
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
     def predict_step(variables: dict, images_u8: jnp.ndarray) -> jnp.ndarray:
         x = eval_preprocess(
-            images_u8, tuple(cfg.image_size), tuple(cfg.mean), tuple(cfg.std)
+            images_u8, tuple(cfg.image_size), tuple(cfg.mean),
+            tuple(cfg.std), dtype=dtype,
         )
 
         def forward(img):

@@ -129,6 +129,41 @@ def test_resume_from_checkpoint(smoke_cfg):
     assert result.history[0]["epoch"] == 4
 
 
+def test_full_default_recipe_integrates(tmp_path_factory):
+    """One fold, 2 epochs, with the DEFAULT V4 recipe fully on — every aug
+    stage (distortion, noise/blur, color, erasing), in-batch mixup/cutmix,
+    deep supervision, EMA, grad accumulation. Catches integration regressions
+    in the default path that the speed-tuned smoke tests above bypass."""
+    from image_classification_tpu.data.manifest import Manifest
+    from image_classification_tpu.data.splits import stratified_kfold
+    from image_classification_tpu.train.kfold import build_source, make_fold_loaders
+    from image_classification_tpu.train.loop import train_fold
+
+    root = str(tmp_path_factory.mktemp("fullaug"))
+    ds = make_synthetic_dataset(
+        root, n_train=64, n_test=8, num_classes=6, native_size=(24, 32), seed=21
+    )
+    cfg = Config(  # aug/mix/EMA/DS knobs stay at their V4 defaults
+        train_dir=ds["train_dir"], test_dir=ds["test_dir"],
+        train_csv=ds["train_csv"], test_csv=ds["test_csv"],
+        num_classes=6, native_size=(24, 32), image_size=(32, 32),
+        model_name="convnext_atto",
+        batch_size=16, epochs=2, num_folds=2, compute_dtype="float32",
+        use_decode_cache=False,
+        model_save_path=os.path.join(root, "models"),
+        output_dir=os.path.join(root, "out"),
+    ).validate()
+    manifest = Manifest.from_csv(cfg.train_csv, num_classes=6)
+    source = build_source(cfg, manifest, cfg.train_dir)
+    train_idx, val_idx = next(iter(stratified_kfold(manifest.labels, 2, 42)))
+    tl, vl, _ = make_fold_loaders(cfg, source, manifest, train_idx, val_idx)
+    result = train_fold(cfg, tl, vl, fold=1)
+    assert len(result.history) == 2
+    for rec in result.history:
+        assert np.isfinite(rec["train_loss"]) and np.isfinite(rec["val_loss"])
+    assert os.path.exists(os.path.join(cfg.model_save_path, "best_model_fold1"))
+
+
 def test_resume_is_exact_continuation(tmp_path_factory):
     """Train 4 epochs straight vs 2 + resume + 2: the post-resume epochs must
     reproduce the straight run exactly (params, optimizer, EMA, best/patience
