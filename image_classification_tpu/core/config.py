@@ -123,6 +123,16 @@ class Config:
     # Bit-identical math; +20% step throughput measured on TPU v5e
     # (319 -> 383 img/s, docs/PERF_NOTES.md round 2).
     mlp_2d: bool = True
+    # Pin row-major layouts on the activations entering/leaving each
+    # depthwise conv (jax.experimental.layout.with_layout_constraint) so
+    # XLA stops propagating channel-major {3,0,2,1} layouts across whole
+    # stages (relayout copies at every block). Bit-identical on TPU;
+    # measured +6.9% train step (349 -> 373 img/s, docs/PERF_NOTES.md).
+    pin_layout: bool = True
+    # Single-pass fused clip+AdamW+EMA inside the jitted step
+    # (train/fused.py): same math as the optax chain, one tree traversal.
+    # Auto-falls back to the generic optax path for plateau/freeze modes.
+    fused_update: bool = True
     freeze_stages: int = 0              # reference `V3.1/...:399-403`
     ensemble_models: tuple[str, ...] = ()  # reference `previous/V2-convbase/config.py:46-51`
     ensemble_weights: tuple[float, ...] = ()

@@ -46,6 +46,14 @@ CONVNEXT_CONFIGS: dict[str, tuple[tuple[int, ...], tuple[int, ...]]] = {
 }
 
 
+def _pin_row_major(x: jnp.ndarray) -> jnp.ndarray:
+    """Constrain an intermediate to the row-major layout (experimental
+    single-chip perf switch behind ``cfg.pin_layout``)."""
+    from jax.experimental.layout import Layout, with_layout_constraint
+
+    return with_layout_constraint(x, Layout(tuple(range(x.ndim))))
+
+
 class ConvNeXtBlock(nn.Module):
     dim: int
     drop_path: float = 0.0
@@ -54,9 +62,12 @@ class ConvNeXtBlock(nn.Module):
     gelu_approximate: bool = False
     dwconv_impl: str = "conv"   # "conv" (lax.conv) | "shift" (see ShiftDWConv)
     mlp_2d: bool = False        # flatten (B,H,W,C)->(BHW,C) around LN+MLP
+    pin_layout: bool = False    # force row-major around the dwconv
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        if self.pin_layout:
+            x = _pin_row_major(x)
         shortcut = x
         if self.dwconv_impl == "shift":
             x = ShiftDWConv(self.dim, 7, dtype=self.dtype, name="conv_dw")(x)
@@ -65,6 +76,8 @@ class ConvNeXtBlock(nn.Module):
                 self.dim, (7, 7), feature_group_count=self.dim,
                 dtype=self.dtype, name="conv_dw",
             )(x)
+        if self.pin_layout:
+            x = _pin_row_major(x)
         shape4 = x.shape
         if self.mlp_2d:
             # XLA assigns channel-major layouts ({3,0,2,1}) to small-H/W
@@ -97,6 +110,7 @@ class ConvNeXt(nn.Module):
     gelu_approximate: bool = False
     dwconv_impl: str = "conv"
     mlp_2d: bool = False
+    pin_layout: bool = False
 
     @nn.compact
     def __call__(
@@ -127,6 +141,7 @@ class ConvNeXt(nn.Module):
                     dim, drop_path=dp[i][j], dtype=self.dtype,
                     gelu_approximate=self.gelu_approximate,
                     dwconv_impl=self.dwconv_impl, mlp_2d=self.mlp_2d,
+                    pin_layout=self.pin_layout,
                     name=f"stage{i}_block{j}",
                 )(x, deterministic)
             if i > 0:

@@ -2,9 +2,8 @@
 
 AdamW with torch-parity defaults: betas (0.9, 0.999), eps 1e-8, and weight
 decay applied to **all** parameters — torch ``optim.AdamW(model.parameters())``
-(`train_advanced_v4.py:504-510`) does not exempt norms/biases, so neither do
-we by default (``decoupled_decay_mask='all'``; 'no_norm_bias' gives the
-conventional exemption). Gradient clipping is global-norm over the whole
+(`train_advanced_v4.py:504-510`) does not exempt norms/biases, so neither
+do we. Gradient clipping is global-norm over the whole
 tree before the update (`train_advanced_v4.py:226-229`). Layer freezing
 (`V3.1/train_advanced_v3.2.py:399-403`) zeroes updates for matching
 parameter subtrees.
@@ -15,7 +14,10 @@ from __future__ import annotations
 from typing import Callable
 
 import jax
+import jax.numpy as jnp
 import optax
+
+from image_classification_tpu.train.fused import ScheduledTx
 
 
 def _freeze_label_fn(freeze_stages: int) -> Callable:
@@ -65,7 +67,17 @@ def build_optimizer(
         adamw,
     )
     core = _with_freeze(core, cfg)
-    return core
+    # Attach the schedule so the jitted step can run the single-pass fused
+    # clip+AdamW+EMA update (train/fused.py) without any signature change;
+    # plateau mode injects LR from the host instead, so nothing to attach.
+    if cfg.schedule == "plateau":
+        schedule = None
+    elif callable(lr_schedule):
+        schedule = lr_schedule
+    else:  # constant LR ("none"): fuse as a constant schedule
+        lr_const = float(lr_schedule)
+        schedule = lambda count: jnp.asarray(lr_const, jnp.float32)  # noqa: E731
+    return ScheduledTx(init=core.init, update=core.update, schedule=schedule)
 
 
 def set_learning_rate(opt_state, lr: float):

@@ -33,6 +33,7 @@ from image_classification_tpu.aug.pipeline import (
     train_augment,
 )
 from image_classification_tpu.core import prng
+from image_classification_tpu.train.fused import can_fuse, fused_adamw_ema
 from image_classification_tpu.train.loss import smoothed_cross_entropy
 from image_classification_tpu.train.train_state import (
     TrainState,
@@ -61,6 +62,8 @@ def make_train_step(
     accum = cfg.gradient_accumulation_steps
     use_mix = cfg.mixup_alpha > 0 or cfg.cutmix_alpha > 0
     has_bs = bundle.has_batch_stats
+    # single-pass clip+AdamW+EMA on the default recipe (train/fused.py)
+    fused = can_fuse(cfg, tx)
 
     def loss_for_microbatch(params, batch_stats, images, targets, drop_key):
         variables = {"params": params}
@@ -128,13 +131,19 @@ def make_train_step(
         )
         if cfg.grad_accum_reduction == "mean":
             grads = jax.tree.map(lambda g: g / accum, grads)
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        new_ema = (
-            ema_update(state.ema_params, new_params, cfg.ema_decay)
-            if state.ema_params is not None
-            else None
-        )
+        if fused:
+            new_params, new_opt, new_ema = fused_adamw_ema(
+                grads, state.opt_state, state.params, state.ema_params,
+                schedule=tx.schedule, cfg=cfg,
+            )
+        else:
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            new_ema = (
+                ema_update(state.ema_params, new_params, cfg.ema_decay)
+                if state.ema_params is not None
+                else None
+            )
         new_state = state.replace(
             step=state.step + 1,
             params=new_params,

@@ -120,3 +120,17 @@ def test_drop_path_train_vs_eval():
                  rngs={"dropout": jax.random.key(2)})
     assert not np.allclose(np.asarray(r1), np.asarray(r2))
     assert np.isfinite(np.asarray(det)).all()
+
+
+def test_pin_layout_matches():
+    """pin_layout only constrains layouts. On TPU the result is
+    bit-identical (verified on hardware); on CPU the constraint acts as a
+    fusion barrier and reorders reductions, so compare to f32 tolerance."""
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 32, 32, 3)),
+                    jnp.float32)
+    outs = []
+    for pin in (False, True):
+        m = small_convnext(pin_layout=pin, mlp_2d=True)
+        variables = m.init(jax.random.key(0), x)
+        outs.append(np.asarray(jax.jit(m.apply)(variables, x)))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-4, atol=1e-4)

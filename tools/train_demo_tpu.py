@@ -15,6 +15,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     epochs, folds, n_train = 1, 2, 35551
+    overrides: dict = {}
     for a in sys.argv[1:]:
         k, v = a.split("=")
         if k == "epochs":
@@ -23,6 +24,10 @@ def main() -> None:
             folds = int(v)
         elif k == "n_train":
             n_train = int(v)
+        else:  # generic Config override, e.g. gradient_accumulation_steps=1
+            overrides[k] = {"true": True, "false": False}.get(
+                v.lower(), int(v) if v.lstrip("-").isdigit() else v
+            )
 
     from image_classification_tpu.core.cache import enable_compilation_cache
 
@@ -57,6 +62,7 @@ def main() -> None:
         model_save_path=os.path.join(root, "models"),
         output_dir=os.path.join(root, "out"),
         cache_dir=os.path.join(root, ".cache"),
+        **overrides,
     ).validate()
     setup_logging()
     results = train_k_fold(cfg)
