@@ -49,7 +49,10 @@ def cmd_train(args) -> None:
     from image_classification_tpu.parallel.distributed import initialize
 
     initialize()  # no-op on a single host
-    mesh = build_mesh(MeshSpec(cfg.mesh_data, cfg.mesh_model))
+    mesh = build_mesh(MeshSpec(
+        cfg.mesh_data, cfg.mesh_model,
+        fold=cfg.num_folds if cfg.fold_parallel else 1,
+    ))
     logger.info("devices: %s, mesh: %s", jax.devices(), dict(mesh.shape))
     if cfg.debug_nans:
         jax.config.update("jax_debug_nans", True)
@@ -136,7 +139,27 @@ def cmd_bench(args) -> None:
     bench.main()
 
 
+def _honor_jax_platforms_env() -> None:
+    """Re-assert the documented ``JAX_PLATFORMS`` semantics.
+
+    Platform plugins registered from ``sitecustomize`` may force their own
+    platform via ``jax.config`` after jax import, which silently overrides
+    the env var (so ``JAX_PLATFORMS=cpu python -m ...cli train`` would still
+    run on the accelerator). If the user set the env var and the backend is
+    not yet initialized, re-apply it.
+    """
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", plat)
+        except RuntimeError:
+            pass  # backend already live; too late to switch
+
+
 def main() -> None:
+    _honor_jax_platforms_env()
     p = argparse.ArgumentParser(prog="image_classification_tpu")
     sub = p.add_subparsers(dest="command", required=True)
     for name, fn in (("train", cmd_train), ("predict", cmd_predict),

@@ -129,6 +129,12 @@ class Config:
     # stages (relayout copies at every block). Bit-identical on TPU;
     # measured +6.9% train step (349 -> 373 img/s, docs/PERF_NOTES.md).
     pin_layout: bool = True
+    # Rematerialization of ConvNeXt blocks in the backward pass:
+    # "none" = save all intermediates (XLA default); "dots" = save only
+    # matmul + dwconv outputs, recompute LayerNorm/GELU in bwd (halves the
+    # per-block (tokens, 4C) residual traffic); "full" = recompute whole
+    # blocks (max activation-memory savings for large-image fine-tuning).
+    block_remat: str = "none"
     # Single-pass fused clip+AdamW+EMA inside the jitted step
     # (train/fused.py): same math as the optax chain, one tree traversal.
     # Auto-falls back to the generic optax path for plateau/freeze modes.
@@ -201,6 +207,9 @@ class Config:
     # ---------------------------------------------------------------- system
     mesh_data: int = -1                 # -1: all remaining devices
     mesh_model: int = 1
+    # Train all K folds simultaneously over a leading `fold` mesh axis of
+    # size num_folds (train/foldpar.py) — K folds in the wall time of one.
+    fold_parallel: bool = False
     prefetch_depth: int = 2
     log_interval: int = 100
     model_save_path: str = "models_out"
@@ -247,6 +256,10 @@ class Config:
             raise ValueError("schedule_horizon must be 'microbatches' or 'steps'")
         if self.schedule not in ("warmup_cosine", "plateau", "none"):
             raise ValueError(f"unknown schedule {self.schedule!r}")
+        if self.dwconv_impl not in ("conv", "shift", "pallas"):
+            raise ValueError(f"unknown dwconv_impl {self.dwconv_impl!r}")
+        if self.block_remat not in ("none", "dots", "full"):
+            raise ValueError(f"unknown block_remat {self.block_remat!r}")
         return self
 
 

@@ -23,9 +23,11 @@ from typing import Any
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from image_classification_tpu.models.layers import (
     DropPath,
+    PallasDWConv,
     PatchConv,
     ShiftDWConv,
     drop_path_rates,
@@ -66,18 +68,24 @@ class ConvNeXtBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
-        if self.pin_layout:
+        pin = self.pin_layout and self.dwconv_impl == "conv"
+        if pin:
             x = _pin_row_major(x)
         shortcut = x
         if self.dwconv_impl == "shift":
             x = ShiftDWConv(self.dim, 7, dtype=self.dtype, name="conv_dw")(x)
+        elif self.dwconv_impl == "pallas":
+            # layout-neutral Pallas stencil; pin_layout is moot here (the
+            # kernel already forces standard row-major tiles)
+            x = PallasDWConv(self.dim, dtype=self.dtype, name="conv_dw")(x)
         else:
             x = nn.Conv(
                 self.dim, (7, 7), feature_group_count=self.dim,
                 dtype=self.dtype, name="conv_dw",
             )(x)
-        if self.pin_layout:
+        if pin:
             x = _pin_row_major(x)
+        x = checkpoint_name(x, "dwconv_out")
         shape4 = x.shape
         if self.mlp_2d:
             # XLA assigns channel-major layouts ({3,0,2,1}) to small-H/W
@@ -111,6 +119,27 @@ class ConvNeXt(nn.Module):
     dwconv_impl: str = "conv"
     mlp_2d: bool = False
     pin_layout: bool = False
+    block_remat: str = "none"  # "none" | "dots" | "full"
+
+    def _block_cls(self):
+        """ConvNeXtBlock, optionally remat-wrapped.
+
+        "dots": save only matmul outputs + the dwconv output
+        (checkpoint_name'd in the block); LayerNorm/GELU recompute in the
+        backward pass, removing their (tokens, 4C) fwd residual stores.
+        "full": recompute the whole block from its input (max memory
+        savings, e.g. for large-image fine-tuning).
+        """
+        if self.block_remat == "none":
+            return ConvNeXtBlock
+        policy = None
+        if self.block_remat == "dots":
+            cps = jax.checkpoint_policies
+            policy = cps.save_from_both_policies(
+                cps.checkpoint_dots,
+                cps.save_only_these_names("dwconv_out"),
+            )
+        return nn.remat(ConvNeXtBlock, policy=policy, static_argnums=(2,))
 
     @nn.compact
     def __call__(
@@ -119,6 +148,7 @@ class ConvNeXt(nn.Module):
         deterministic: bool = True,
         return_features: bool = False,
     ):
+        block_cls = self._block_cls()
         x = x.astype(self.dtype)
         # stem & downsamples are stride==kernel convs -> space-to-depth
         # matmuls (see layers.PatchConv; params identical to nn.Conv)
@@ -132,12 +162,25 @@ class ConvNeXt(nn.Module):
                 x = nn.LayerNorm(
                     epsilon=1e-6, dtype=self.dtype, name=f"downsample{i}_norm"
                 )(x)
-                x = nn.Conv(
-                    dim, (2, 2), strides=(2, 2), dtype=self.dtype,
-                    name=f"downsample{i}_conv",
-                )(x)
+                if x.shape[1] == 2 and x.shape[2] == 2:
+                    # Degenerate 2x2 -> 1x1 downsample: the conv IS one
+                    # matmul; express it as one (PatchConv, identical
+                    # params). Also works around an XLA SPMD miscompile:
+                    # vmapped strided convs with size-1 spatial output
+                    # return wrong values when the mapped dim is sharded
+                    # (hits fold-parallel CPU tests at 32px inputs; GSPMD
+                    # and Shardy both affected, verified jax 0.9.0).
+                    x = PatchConv(
+                        dim, patch=2, dtype=self.dtype,
+                        name=f"downsample{i}_conv",
+                    )(x)
+                else:
+                    x = nn.Conv(
+                        dim, (2, 2), strides=(2, 2), dtype=self.dtype,
+                        name=f"downsample{i}_conv",
+                    )(x)
             for j in range(depth):
-                x = ConvNeXtBlock(
+                x = block_cls(
                     dim, drop_path=dp[i][j], dtype=self.dtype,
                     gelu_approximate=self.gelu_approximate,
                     dwconv_impl=self.dwconv_impl, mlp_2d=self.mlp_2d,

@@ -93,6 +93,35 @@ class ShiftDWConv(nn.Module):
         return out
 
 
+class PallasDWConv(nn.Module):
+    """7x7 depthwise conv via the Pallas stencil kernel (ops/dwconv.py).
+
+    Unlike lax.conv, the kernel consumes/produces standard row-major tiles,
+    so XLA never propagates channel-major ``{3,0,2,1}`` layouts (and their
+    relayout copies) across the block, and the wgrad avoids the pathological
+    ``f32[7,7,1,C]`` accumulator fusions (docs/PERF_NOTES.md). Same math and
+    parameter shapes/names as ``nn.Conv(features, (7,7),
+    feature_group_count=features)`` so checkpoints are unaffected. Falls
+    back to lax.conv off-TPU.
+    """
+
+    features: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from image_classification_tpu.ops.dwconv import depthwise_conv7x7
+
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (7, 7, 1, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        out = depthwise_conv7x7(
+            x.astype(self.dtype), kernel.astype(self.dtype)[:, :, 0, :]
+        )
+        return out + bias.astype(out.dtype)
+
+
 def patch_conv(
     x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray | None, patch: int
 ) -> jnp.ndarray:

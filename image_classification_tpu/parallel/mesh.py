@@ -28,30 +28,36 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+FOLD_AXIS = "fold"
 
 
 @dataclass(frozen=True)
 class MeshSpec:
     """How to lay devices out. ``data=-1`` means "all devices not used by
-    other axes"."""
+    other axes". ``fold > 1`` adds a leading fold-parallel axis (train K
+    cross-validation folds simultaneously, one mesh slice each — a strategy
+    the single-GPU reference cannot express; see train/foldpar.py)."""
 
     data: int = -1
     model: int = 1
+    fold: int = 1
 
-    def resolve(self, n_devices: int) -> tuple[int, int]:
+    def resolve(self, n_devices: int) -> tuple[int, int, int]:
         model = max(1, self.model)
+        fold = max(1, self.fold)
         data = self.data
         if data == -1:
-            if n_devices % model != 0:
+            if n_devices % (model * fold) != 0:
                 raise ValueError(
-                    f"{n_devices} devices not divisible by model={model}"
+                    f"{n_devices} devices not divisible by "
+                    f"model={model} x fold={fold}"
                 )
-            data = n_devices // model
-        if data * model != n_devices:
+            data = n_devices // (model * fold)
+        if fold * data * model != n_devices:
             raise ValueError(
-                f"mesh {data}x{model} != device count {n_devices}"
+                f"mesh {fold}x{data}x{model} != device count {n_devices}"
             )
-        return data, model
+        return fold, data, model
 
 
 def build_mesh(
@@ -59,7 +65,10 @@ def build_mesh(
 ) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     spec = spec or MeshSpec()
-    data, model = spec.resolve(len(devices))
+    fold, data, model = spec.resolve(len(devices))
+    if fold > 1:
+        dev_array = np.asarray(devices).reshape(fold, data, model)
+        return Mesh(dev_array, (FOLD_AXIS, DATA_AXIS, MODEL_AXIS))
     dev_array = np.asarray(devices).reshape(data, model)
     return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
 
@@ -67,6 +76,12 @@ def build_mesh(
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) dimension across the data axis."""
     return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def fold_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for stacked per-fold batches (K, B, ...): fold dim over the
+    fold axis, batch dim over the data axis."""
+    return NamedSharding(mesh, P(FOLD_AXIS, DATA_AXIS))
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:

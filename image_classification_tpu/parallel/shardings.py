@@ -16,7 +16,7 @@ from typing import Any
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from image_classification_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+from image_classification_tpu.parallel.mesh import DATA_AXIS, FOLD_AXIS, MODEL_AXIS
 
 # param-name -> which kernel axis to shard over the model axis
 _COL_PARALLEL = ("mlp_fc1",)   # shard output dim
@@ -67,3 +67,26 @@ def state_shardings(state: Any, mesh: Mesh) -> Any:
 
 def batch_spec() -> P:
     return P(DATA_AXIS)
+
+
+def fold_state_shardings(stacked_state: Any, mesh: Mesh) -> Any:
+    """Shardings for a fold-stacked TrainState (every leaf has a leading
+    fold dimension of size K). The fold dim shards over ``fold``; the
+    remaining dims reuse :func:`param_spec` evaluated on the per-fold shape,
+    so tensor-parallel MLP sharding composes with fold parallelism."""
+    model_size = mesh.shape[MODEL_AXIS]
+
+    class _View:  # param_spec only reads .ndim/.shape
+        __slots__ = ("shape", "ndim")
+
+        def __init__(self, shape):
+            self.shape = shape
+            self.ndim = len(shape)
+
+    def one(path, leaf):
+        if getattr(leaf, "ndim", 0) < 1:
+            return NamedSharding(mesh, P())
+        inner = param_spec(path, _View(leaf.shape[1:]), model_size)
+        return NamedSharding(mesh, P(FOLD_AXIS, *inner))
+
+    return jax.tree_util.tree_map_with_path(one, stacked_state)

@@ -1,0 +1,303 @@
+"""Fold-parallel training: all K cross-validation folds in one SPMD program.
+
+The reference trains folds sequentially on its single GPU
+(`train_advanced_v4.py:562-655`); on a TPU slice the folds are embarrassingly
+parallel — same model, same step program, different data and parameters. This
+module stacks the K folds' TrainStates along a leading axis sharded over a
+``fold`` mesh axis and ``jax.vmap``s the standard train/eval steps over it,
+so a (fold=K, data=D, model=M) mesh trains all folds simultaneously: K folds
+finish in the wall time of one. The north-star "2-fold ConvNeXt-Base in
+<30 min" (BASELINE.md) runs both folds at once on a 2-slice mesh.
+
+Semantics match the sequential path exactly: per-fold init keys, per-fold
+step keys, and per-fold loader orders are the same ones ``train_k_fold`` +
+``train_fold`` would use, so a fold's trajectory is identical (up to
+reassociation) whether trained sequentially or fold-parallel
+(tests/test_foldpar.py asserts this).
+
+v1 limitations (explicit errors): no progressive resizing, no SWA, no
+plateau schedule, no resume. Weighted/focal class counts use the full
+manifest's distribution (per-fold train counts differ from it by at most
+one image per class under stratification).
+"""
+
+from __future__ import annotations
+
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from image_classification_tpu.core import prng
+from image_classification_tpu.models.factory import create_model, load_pretrained_into
+from image_classification_tpu.train.loop import (
+    FoldResult,
+    _append_metrics,
+    build_lr_schedule,
+)
+from image_classification_tpu.train.loss import build_criterion
+from image_classification_tpu.train.optim import build_optimizer
+from image_classification_tpu.train.step import make_eval_step, make_train_step
+from image_classification_tpu.train.train_state import create_train_state
+from image_classification_tpu.utils import checkpoint as ckpt
+from image_classification_tpu.utils.metrics import macro_f1, per_class_f1
+from image_classification_tpu.utils.profiler import StepTimer
+
+logger = logging.getLogger("ic_tpu")
+
+
+def _check_supported(cfg) -> None:
+    for flag, name in (
+        (cfg.progressive_resizing, "progressive_resizing"),
+        (cfg.use_swa, "use_swa"),
+        (cfg.schedule == "plateau", "schedule='plateau'"),
+    ):
+        if flag:
+            raise ValueError(f"fold_parallel does not support {name}")
+
+
+def _stack_batches(batches: list[dict], keys: tuple[str, ...]) -> dict:
+    return {k: np.stack([b[k] for b in batches]) for k in keys}
+
+
+def _zero_like_batch(batch: dict) -> dict:
+    """An all-masked batch (images/labels zero, mask False) for folds whose
+    val loader is exhausted — masked eval sums make it contribute nothing."""
+    out = {k: np.zeros_like(v) for k, v in batch.items()}
+    return out
+
+
+def init_fold_states(cfg, bundle, mesh, n_folds: int):
+    """Stacked TrainState for all folds: per-fold init keys (matching
+    ``train_fold``'s ``prng.fold(root, fold)``), pretrained backbone
+    broadcast across folds when configured."""
+    root = prng.root_key(cfg.seed)
+    init_keys = jnp.stack(
+        [prng.fold_name(prng.fold(root, k), "init") for k in range(1, n_folds + 1)]
+    )
+    stacked_vars = jax.jit(jax.vmap(bundle.init))(init_keys)
+
+    if cfg.pretrained:
+        # load once on host, broadcast the loaded leaves across the fold dim
+        template = jax.tree.map(lambda a: np.asarray(a[0]), stacked_vars)
+        loaded = load_pretrained_into(bundle, template, cfg)
+
+        def merge(stacked, tmpl, new):
+            if np.shares_memory(tmpl, new) or np.array_equal(tmpl, new):
+                return stacked  # leaf untouched by the import: keep per-fold init
+            return np.broadcast_to(new, stacked.shape).copy()
+
+        stacked_vars = jax.tree.map(
+            merge, jax.tree.map(np.asarray, stacked_vars), template, loaded
+        )
+    return stacked_vars
+
+
+def train_k_fold_parallel(
+    cfg,
+    splits,
+    make_loaders,
+    mesh,
+    model_name: str | None = None,
+) -> list[FoldResult]:
+    """Train every fold of ``splits`` simultaneously over ``mesh``'s fold
+    axis.
+
+    ``make_loaders(fold_idx, train_idx, val_idx) -> (train_loader,
+    val_loader)`` must build HOST loaders (mesh=None) — batches are stacked
+    across folds here and device_put with (fold, data) sharding.
+    """
+    from image_classification_tpu.parallel.mesh import FOLD_AXIS, fold_batch_sharding
+    from image_classification_tpu.parallel.shardings import fold_state_shardings
+
+    _check_supported(cfg)
+    splits = list(splits)  # stratified_kfold yields lazily
+    n_folds = len(splits)
+    mesh_folds = mesh.shape.get(FOLD_AXIS, 1)
+    if mesh_folds != n_folds:
+        raise ValueError(
+            f"mesh fold axis ({mesh_folds}) != number of folds ({n_folds})"
+        )
+
+    bundle = create_model(cfg, model_name)
+    loaders = [
+        make_loaders(fold, train_idx, val_idx)
+        for fold, (train_idx, val_idx) in enumerate(splits, start=1)
+    ]
+    train_loaders = [t for t, _ in loaders]
+    val_loaders = [v for _, v in loaders]
+    steps_per_epoch = min(len(t) for t in train_loaders)
+
+    schedule = build_lr_schedule(cfg, steps_per_epoch)
+    tx = build_optimizer(cfg, schedule)
+    criterion = build_criterion(cfg, class_counts=None)
+    if cfg.use_weighted_loss or cfg.use_focal_loss:
+        # per-fold train counts differ from the manifest's by <=1 per class
+        counts = np.zeros(cfg.num_classes, np.int64)
+        for t in train_loaders:
+            counts = np.maximum(
+                counts, np.bincount(
+                    t.manifest.labels[t.indices], minlength=cfg.num_classes
+                ),
+            )
+        criterion = build_criterion(cfg, class_counts=jnp.asarray(counts))
+
+    stacked_vars = init_fold_states(cfg, bundle, mesh, n_folds)
+    state = jax.vmap(
+        lambda v: create_train_state(v, tx, use_ema=cfg.use_ema, use_swa=False)
+    )(jax.tree.map(jnp.asarray, stacked_vars))
+    n_params = sum(x.size for x in jax.tree.leaves(state.params)) // n_folds
+    logger.info(
+        "fold-parallel: %d folds x %s (%.2fM params/fold) on mesh %s",
+        n_folds, bundle.name, n_params / 1e6, dict(mesh.shape),
+    )
+
+    s_shard = fold_state_shardings(state, mesh)
+    state = jax.device_put(state, s_shard)
+    b_shard = fold_batch_sharding(mesh)
+
+    train_step = jax.jit(
+        jax.vmap(make_train_step(bundle, cfg, tx, criterion)),
+        donate_argnums=(0,),
+        out_shardings=(s_shard, None),
+    )
+    eval_step = jax.jit(jax.vmap(make_eval_step(bundle, cfg)))
+
+    root = prng.root_key(cfg.seed)
+    step_keys = jnp.stack(
+        [prng.fold_name(prng.fold(root, k), "steps") for k in range(1, n_folds + 1)]
+    )
+
+    best_val_acc = [-1.0] * n_folds
+    best_variables: list[dict] = [{} for _ in range(n_folds)]
+    patience = [0] * n_folds
+    histories: list[list[dict]] = [[] for _ in range(n_folds)]
+
+    for epoch in range(cfg.epochs):
+        for t in train_loaders:
+            t.set_epoch(epoch)
+        timer = StepTimer()
+        losses, accs = [], []
+        iters = [iter(t) for t in train_loaders]
+        for _ in range(steps_per_epoch):
+            with timer.data_wait():
+                batches = [next(it) for it in iters]
+                stacked = _stack_batches(batches, ("image", "label"))
+                stacked = {
+                    k: jax.device_put(v, b_shard) for k, v in stacked.items()
+                }
+            with timer.compute(n_images=n_folds * cfg.batch_size):
+                state, metrics = train_step(state, stacked, step_keys)
+            losses.append(metrics["loss"])
+            accs.append(metrics["accuracy"])
+        jax.block_until_ready(state.params)
+        perf = timer.summary()
+        train_loss = np.mean([np.asarray(l) for l in losses], axis=0)  # (K,)
+        train_acc = np.mean([np.asarray(a) for a in accs], axis=0)
+
+        # ---- stacked validation: iterate to the longest fold's batch count;
+        # exhausted folds contribute all-masked zero batches.
+        val_iters = [iter(v) for v in val_loaders]
+        acc_sums = None
+        exhausted_template: dict | None = None
+        while True:
+            cols = [next(it, None) for it in val_iters]
+            if all(c is None for c in cols):
+                break
+            live = next(c for c in cols if c is not None)
+            if exhausted_template is None:
+                exhausted_template = _zero_like_batch(
+                    {k: live[k] for k in ("image", "label", "mask")}
+                )
+            cols = [
+                {k: c[k] for k in ("image", "label", "mask")}
+                if c is not None else exhausted_template
+                for c in cols
+            ]
+            stacked = _stack_batches(cols, ("image", "label", "mask"))
+            stacked = {k: jax.device_put(v, b_shard) for k, v in stacked.items()}
+            m = eval_step(state, stacked)
+            acc_sums = m if acc_sums is None else jax.tree.map(
+                jnp.add, acc_sums, m
+            )
+        acc_sums = jax.tree.map(np.asarray, acc_sums)
+
+        stop = True
+        eval_params_host = None
+        for k in range(n_folds):
+            cm = acc_sums["confusion"][k]
+            count = max(float(acc_sums["count"][k]), 1.0)
+            f1 = np.asarray(per_class_f1(jnp.asarray(cm)))
+            present = cm.sum(axis=1) > 0
+            record = {
+                "epoch": epoch,
+                "train_loss": float(train_loss[k]),
+                "train_acc": float(train_acc[k]),
+                "val_loss": float(acc_sums["loss_sum"][k]) / count,
+                "val_acc": float(acc_sums["correct"][k]) / count,
+                "val_macro_f1": float(macro_f1(jnp.asarray(cm))),
+                "val_min_class_f1": float(f1[present].min()) if present.any() else 0.0,
+                **perf,
+            }
+            histories[k].append(record)
+            _append_metrics(cfg.output_dir, k + 1, record)
+            logger.info(
+                "fold %d epoch %d/%d: train %.4f/%.4f val %.4f/%.4f f1 %.4f",
+                k + 1, epoch + 1, cfg.epochs, record["train_loss"],
+                record["train_acc"], record["val_loss"], record["val_acc"],
+                record["val_macro_f1"],
+            )
+            if record["val_acc"] > best_val_acc[k]:
+                best_val_acc[k] = record["val_acc"]
+                if eval_params_host is None:
+                    # eval_params just selects the EMA tree; stacked arrays
+                    # pass through unchanged, so no vmap is needed
+                    ep = state.eval_params(use_ema=cfg.use_ema)
+                    eval_params_host = jax.tree.map(np.asarray, ep)
+                fold_params = jax.tree.map(lambda a: a[k], eval_params_host)
+                bv = {"params": fold_params}
+                if state.batch_stats is not None:
+                    bv["batch_stats"] = jax.tree.map(
+                        lambda a: np.asarray(a[k]), state.batch_stats
+                    )
+                best_variables[k] = bv
+                patience[k] = 0
+                ckpt.save_best(
+                    cfg.model_save_path, k + 1, bv["params"],
+                    bv.get("batch_stats"), best_val_acc[k],
+                )
+            else:
+                patience[k] += 1
+            if patience[k] < cfg.patience:
+                stop = False
+        logger.info(
+            "fold-parallel epoch %d: %.1f img/s (all folds), duty %.1f%%",
+            epoch + 1, perf["images_per_sec"], 100 * perf["duty_cycle"],
+        )
+        if stop:
+            logger.info(
+                "fold-parallel: all folds exceeded patience; stopping at "
+                "epoch %d", epoch + 1,
+            )
+            break
+
+    results = []
+    for k in range(n_folds):
+        if not best_variables[k]:
+            params = jax.tree.map(lambda a: np.asarray(a[k]), state.params)
+            best_variables[k] = {"params": params}
+            if state.batch_stats is not None:
+                best_variables[k]["batch_stats"] = jax.tree.map(
+                    lambda a: np.asarray(a[k]), state.batch_stats
+                )
+        results.append(
+            FoldResult(
+                fold=k + 1,
+                best_val_acc=best_val_acc[k],
+                best_variables=best_variables[k],
+                bundle=bundle,
+                history=histories[k],
+            )
+        )
+    return results

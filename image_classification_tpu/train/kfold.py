@@ -143,6 +143,21 @@ def train_k_fold(
     results: list[FoldResult] = []
     shared: dict = {}  # compiled steps reused across folds (see train_fold)
     splits = stratified_kfold(manifest.labels, cfg.num_folds, seed=cfg.fold_seed)
+    if cfg.fold_parallel:
+        from image_classification_tpu.train.foldpar import train_k_fold_parallel
+
+        if resume:
+            logger.warning("fold_parallel does not support resume; ignoring")
+
+        def make_loaders(fold, train_idx, val_idx):
+            t, v, _ = make_fold_loaders(
+                cfg, source, manifest, train_idx, val_idx, mesh=None
+            )
+            return t, v
+
+        return train_k_fold_parallel(
+            cfg, splits, make_loaders, mesh, model_name=model_name
+        )
     for fold, (train_idx, val_idx) in enumerate(splits, start=1):
         logger.info(
             "fold %d/%d: train %d / val %d",

@@ -1,0 +1,123 @@
+"""Fold-parallel training (train/foldpar.py): sharding specs + end-to-end
+equivalence with the sequential K-fold path on a (fold=2, data=2, model=2)
+virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from image_classification_tpu.core.config import Config
+from image_classification_tpu.data import make_synthetic_dataset
+from image_classification_tpu.parallel.mesh import (
+    FOLD_AXIS,
+    MeshSpec,
+    build_mesh,
+)
+from image_classification_tpu.parallel.shardings import fold_state_shardings
+
+
+def _cfg(root, **kw):
+    base = dict(
+        train_dir=f"{root}/data/train",
+        test_dir=f"{root}/data/test",
+        train_csv=f"{root}/data/train.csv",
+        test_csv=f"{root}/data/sample_submission.csv",
+        submission_path=f"{root}/submission.csv",
+        model_save_path=f"{root}/models",
+        output_dir=f"{root}/out",
+        num_classes=6,
+        native_size=(24, 32),
+        image_size=(32, 32),
+        model_name="convnext_atto",
+        use_deep_supervision=False,
+        batch_size=8,
+        epochs=2,
+        num_folds=2,
+        compute_dtype="float32",
+        use_decode_cache=False,
+        patience=100,
+        # keep the graph small/fast; aug still exercises the fused pipeline
+        distortion_prob=0.0,
+        noise_blur_prob=0.0,
+        random_erasing_prob=0.0,
+    )
+    base.update(kw)
+    return Config(**base).validate()
+
+
+def test_mesh_spec_fold_axis():
+    fold, data, model = MeshSpec(data=-1, model=2, fold=2).resolve(8)
+    assert (fold, data, model) == (2, 2, 2)
+    with pytest.raises(ValueError):
+        MeshSpec(data=3, model=1, fold=2).resolve(8)
+
+
+def test_fold_state_shardings_specs():
+    mesh = build_mesh(MeshSpec(data=2, model=2, fold=2))
+    assert mesh.shape[FOLD_AXIS] == 2
+    from jax.sharding import PartitionSpec as P
+
+    stacked = {
+        "mlp_fc1": {"kernel": jnp.zeros((2, 8, 16)), "bias": jnp.zeros((2, 16))},
+        "other": {"kernel": jnp.zeros((2, 8, 8))},
+        "step": jnp.zeros((2,), jnp.int32),
+    }
+    sh = fold_state_shardings(stacked, mesh)
+    assert sh["mlp_fc1"]["kernel"].spec == P(FOLD_AXIS, None, "model")
+    assert sh["mlp_fc1"]["bias"].spec == P(FOLD_AXIS, "model")
+    assert sh["other"]["kernel"].spec == P(FOLD_AXIS)
+    assert sh["step"].spec == P(FOLD_AXIS)
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("foldpar"))
+    make_synthetic_dataset(
+        f"{root}/data", n_train=96, n_test=8, num_classes=6,
+        native_size=(24, 32), seed=3,
+    )
+    return root
+
+
+def test_fold_parallel_matches_sequential(dataset):
+    """Same folds, same seeds: fold-parallel must reproduce the sequential
+    per-fold trajectories (identical inputs, keys, and math; tolerance for
+    vmap/sharding reassociation)."""
+    from image_classification_tpu.train.kfold import train_k_fold
+
+    root = dataset
+    seq_cfg = _cfg(root, output_dir=f"{root}/out_seq",
+                   model_save_path=f"{root}/models_seq")
+    seq = train_k_fold(seq_cfg)
+
+    par_cfg = _cfg(root, fold_parallel=True, output_dir=f"{root}/out_par",
+                   model_save_path=f"{root}/models_par")
+    mesh = build_mesh(MeshSpec(data=2, model=2, fold=2))
+    par = train_k_fold(par_cfg, mesh=mesh)
+
+    assert len(seq) == len(par) == 2
+    for s, p in zip(seq, par):
+        assert s.fold == p.fold
+        assert len(s.history) == len(p.history)
+        for hs, hp in zip(s.history, p.history):
+            np.testing.assert_allclose(
+                hs["train_loss"], hp["train_loss"], rtol=0.02, atol=0.02
+            )
+            np.testing.assert_allclose(
+                hs["val_acc"], hp["val_acc"], rtol=0, atol=0.021
+            )
+        # the saved best params must be per-fold distinct
+    a = jax.tree.leaves(par[0].best_variables["params"])[0]
+    b = jax.tree.leaves(par[1].best_variables["params"])[0]
+    assert not np.allclose(a, b)
+
+
+def test_fold_parallel_rejects_unsupported(dataset):
+    from image_classification_tpu.train.foldpar import train_k_fold_parallel
+
+    root = dataset
+    cfg = _cfg(root, fold_parallel=True, use_swa=True)
+    mesh = build_mesh(MeshSpec(data=2, model=2, fold=2))
+    with pytest.raises(ValueError, match="use_swa"):
+        train_k_fold_parallel(cfg, [(None, None), (None, None)], None, mesh)

@@ -134,3 +134,41 @@ def test_pin_layout_matches():
         variables = m.init(jax.random.key(0), x)
         outs.append(np.asarray(jax.jit(m.apply)(variables, x)))
     np.testing.assert_allclose(outs[0], outs[1], rtol=1e-4, atol=1e-4)
+
+
+def test_block_remat_matches():
+    """block_remat only changes what is saved for the backward pass: loss
+    and gradients must match the non-remat graph."""
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(2, 32, 32, 3)),
+                    jnp.float32)
+    results = {}
+    for remat in ("none", "dots", "full"):
+        m = small_convnext(block_remat=remat, mlp_2d=True)
+        variables = m.init(jax.random.key(0), x)
+
+        def loss(v):
+            return jnp.sum(m.apply(v, x) ** 2)
+
+        l, g = jax.value_and_grad(loss)(variables)
+        results[remat] = (float(l), g)
+    for remat in ("dots", "full"):
+        assert np.isclose(results["none"][0], results[remat][0], rtol=1e-6)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5),
+            results["none"][1], results[remat][1],
+        )
+
+
+def test_dwconv_impl_pallas_parity():
+    """dwconv_impl='pallas' keeps nn.Conv's exact parameter tree (checkpoint
+    compatible) and forward semantics (lax fallback off-TPU)."""
+    x = jnp.asarray(np.random.default_rng(2).normal(size=(2, 32, 32, 3)),
+                    jnp.float32)
+    vs, outs = {}, {}
+    for impl in ("conv", "pallas"):
+        m = small_convnext(dwconv_impl=impl, mlp_2d=True)
+        v = m.init(jax.random.key(0), x)
+        vs[impl], outs[impl] = v, np.asarray(m.apply(v, x))
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(a, b),
+                 vs["conv"], vs["pallas"])
+    np.testing.assert_allclose(outs["conv"], outs["pallas"], rtol=2e-5, atol=2e-5)
