@@ -32,6 +32,7 @@ def cmd_train(args) -> None:
     import jax
 
     from image_classification_tpu.data import DataLoader, Manifest
+    from image_classification_tpu.data.loader import device_cache_wanted
     from image_classification_tpu.data.sampling import SequentialSampler
     from image_classification_tpu.infer import predict_ensemble, write_submission
     from image_classification_tpu.parallel import MeshSpec, build_mesh
@@ -76,6 +77,7 @@ def cmd_train(args) -> None:
         test_source, test_manifest,
         batch_size=cfg.batch_size * cfg.val_batch_multiplier,
         sampler=SequentialSampler(len(test_manifest)), pad_last=True,
+        device_cache=device_cache_wanted(cfg, test_source),
     )
     ids, preds, _ = predict_ensemble(
         [r.bundle for r in results],
@@ -88,6 +90,7 @@ def cmd_train(args) -> None:
 
 def cmd_predict(args) -> None:
     from image_classification_tpu.data import DataLoader, Manifest
+    from image_classification_tpu.data.loader import device_cache_wanted
     from image_classification_tpu.data.sampling import SequentialSampler
     from image_classification_tpu.infer import predict_ensemble, write_submission
     from image_classification_tpu.models.factory import create_model
@@ -123,6 +126,7 @@ def cmd_predict(args) -> None:
         source, test_manifest,
         batch_size=cfg.batch_size * cfg.val_batch_multiplier,
         sampler=SequentialSampler(len(test_manifest)), pad_last=True,
+        device_cache=device_cache_wanted(cfg, source),
     )
     ids, preds, _ = predict_ensemble(bundles, var_list, loader, cfg)
     write_submission(ids, preds, cfg.submission_path, column="predict")

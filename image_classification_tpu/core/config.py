@@ -211,6 +211,20 @@ class Config:
     # size num_folds (train/foldpar.py) — K folds in the wall time of one.
     fold_parallel: bool = False
     prefetch_depth: int = 2
+    # HBM-resident image store: upload the decoded uint8 dataset to device
+    # once and gather batches on device — per-epoch host->device traffic
+    # drops from the full dataset to a few KB of indices. "auto" enables it
+    # for single-device runs when the store fits hbm_cache_limit_mb.
+    hbm_cache: str = "auto"             # "auto" | "on" | "off"
+    hbm_cache_limit_mb: int = 4096
+    # Full-TrainState resume checkpoint cadence: every N epochs (always on
+    # the fold's final epoch and on early stop). The ~1.4 GB state pull
+    # through a slow host link can dominate epoch wall time (PERF_NOTES).
+    save_state_every: int = 1           # 0 = never
+    # Pull checkpoints device->host and write them on a background thread
+    # (the device arrays are snapshotted first, so training continues
+    # immediately). Same on-disk format; joined at fold end.
+    async_checkpoint: bool = True
     log_interval: int = 100
     model_save_path: str = "models_out"
     output_dir: str = "output"
@@ -260,6 +274,8 @@ class Config:
             raise ValueError(f"unknown dwconv_impl {self.dwconv_impl!r}")
         if self.block_remat not in ("none", "dots", "full"):
             raise ValueError(f"unknown block_remat {self.block_remat!r}")
+        if self.hbm_cache not in ("auto", "on", "off"):
+            raise ValueError(f"unknown hbm_cache {self.hbm_cache!r}")
         return self
 
 

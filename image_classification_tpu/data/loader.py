@@ -22,6 +22,41 @@ from image_classification_tpu.data.manifest import Manifest
 from image_classification_tpu.data.sampling import SequentialSampler
 
 
+_GATHER_CACHE: dict = {}
+
+
+def _device_gather():
+    """Jitted (store, rows, mask) -> zero-padded uint8 batch gather.
+
+    Module-level cache: a closure jitted inside ``__iter__`` would be a new
+    function object every epoch and recompile each time (remote-TPU compiles
+    are slow — CLAUDE.md platform gotchas)."""
+    if "fn" not in _GATHER_CACHE:
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def gather(store, rows, mask):
+            img = jnp.take(store, rows, axis=0)
+            return jnp.where(mask[:, None, None, None], img, jnp.uint8(0))
+
+        _GATHER_CACHE["fn"] = gather
+    return _GATHER_CACHE["fn"]
+
+
+def device_cache_wanted(cfg, source) -> bool:
+    """Resolve cfg.hbm_cache ("auto"/"on"/"off") against the source size.
+    The DataLoader additionally gates on single-process + single-device at
+    iteration time (see ``_cache_active``)."""
+    if getattr(cfg, "hbm_cache", "off") == "off":
+        return False
+    if not hasattr(source, "device_images") or not hasattr(source, "nbytes"):
+        return False
+    if cfg.hbm_cache == "on":
+        return True
+    return source.nbytes() <= cfg.hbm_cache_limit_mb * 1024 * 1024
+
+
 class DataLoader:
     """Yields dict batches: image (B,H,W,3) uint8, label (B,) int32,
     mask (B,) bool (False on padding rows of the final batch)."""
@@ -39,6 +74,7 @@ class DataLoader:
         prefetch_depth: int = 2,
         process_index: int | None = None,
         process_count: int | None = None,
+        device_cache: bool = False,
     ):
         self.source = source
         self.manifest = manifest
@@ -57,7 +93,21 @@ class DataLoader:
         # host); on a real multi-host slice the defaults resolve lazily.
         self._process_index = process_index
         self._process_count = process_count
+        self.device_cache = device_cache
         self.epoch = 0
+
+    def _cache_active(self) -> bool:
+        """HBM-resident images: only single-process, and only when the mesh
+        (if any) is a single device — the cache lives on one chip, so a
+        multi-chip data axis would funnel every gather through it. Multi-
+        device runs keep the host path (their PCIe links are fast; the slow
+        tunnel this mode exists for is a single-chip remote-TPU artifact)."""
+        if not self.device_cache or not hasattr(self.source, "device_images"):
+            return False
+        k, h = self._process_info()
+        if h > 1:
+            return False
+        return self.mesh is None or self.mesh.devices.size == 1
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
@@ -78,7 +128,7 @@ class DataLoader:
         return -(-order_n // self.batch_size)
 
     # ------------------------------------------------------------- assembly
-    def _batches(self) -> Iterator[dict[str, np.ndarray]]:
+    def _batches(self, skip_images: bool = False) -> Iterator[dict[str, np.ndarray]]:
         k, h = self._process_info()
         if h > 1:
             yield from self._batches_multihost(k, h)
@@ -89,23 +139,27 @@ class DataLoader:
         for start in range(0, stop, self.batch_size):
             sel = order[start : start + self.batch_size]
             ds_idx = self.indices[sel]
-            images = self.source.get_batch(ds_idx)
             labels = self.manifest.labels[ds_idx].astype(np.int32)
             mask = np.ones(len(sel), dtype=bool)
+            if not skip_images:
+                images = self.source.get_batch(ds_idx)
             if len(sel) < self.batch_size and self.pad_last:
                 pad = self.batch_size - len(sel)
-                images = np.concatenate(
-                    [images, np.zeros((pad,) + images.shape[1:], images.dtype)]
-                )
+                if not skip_images:
+                    images = np.concatenate(
+                        [images, np.zeros((pad,) + images.shape[1:], images.dtype)]
+                    )
                 labels = np.concatenate([labels, np.zeros(pad, np.int32)])
                 mask = np.concatenate([mask, np.zeros(pad, bool)])
                 ds_idx = np.concatenate([ds_idx, np.full(pad, -1)])
-            yield {
-                "image": images,
+            batch = {
                 "label": labels,
                 "mask": mask,
                 "index": ds_idx.astype(np.int64),
             }
+            if not skip_images:
+                batch["image"] = images
+            yield batch
 
     def _batches_multihost(self, k: int, h: int) -> Iterator[dict[str, np.ndarray]]:
         """Per-host slice of each global batch.
@@ -147,6 +201,9 @@ class DataLoader:
             }
 
     def __iter__(self) -> Iterator[dict[str, Any]]:
+        if self._cache_active():
+            yield from self._iter_device_cached()
+            return
         it = self._batches()
         if self.prefetch_depth > 0:
             it = _background(it, self.prefetch_depth)
@@ -167,6 +224,42 @@ class DataLoader:
                 yield {**arrays, "index": batch["index"]}
         else:
             yield from it
+
+    def _iter_device_cached(self) -> Iterator[dict[str, Any]]:
+        """HBM-resident path: images never transit the host after the one-time
+        upload. Per batch, the host ships only indices/labels/mask (~a few
+        hundred bytes) and the batch is a device-side gather out of the
+        resident store — with padding rows zeroed, matching the host path's
+        zero-image padding bit-for-bit."""
+        import jax
+
+        dev = self.source.device_images()
+        device = dev.devices().pop() if self.mesh is None else None
+        gather = _device_gather()
+
+        it = self._batches(skip_images=True)
+        if self.prefetch_depth > 0:
+            it = _background(it, self.prefetch_depth)
+        for batch in it:
+            rows = np.maximum(batch["index"], 0).astype(np.int32)
+            image = gather(dev, rows, batch["mask"])
+            if self.mesh is not None:
+                from image_classification_tpu.parallel.mesh import batch_sharding
+
+                sharding = batch_sharding(self.mesh)
+                arrays = {
+                    "image": jax.device_put(image, sharding),
+                    "label": jax.device_put(batch["label"], sharding),
+                    "mask": jax.device_put(batch["mask"], sharding),
+                }
+                yield {**arrays, "index": batch["index"]}
+            else:
+                yield {
+                    "image": image,
+                    "label": jax.device_put(batch["label"], device),
+                    "mask": jax.device_put(batch["mask"], device),
+                    "index": batch["index"],
+                }
 
     def batch_ids(self) -> Iterator[np.ndarray]:
         """Ids per batch in epoch order (sequential samplers; for inference)."""

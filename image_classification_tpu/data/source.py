@@ -161,6 +161,22 @@ class ImageSource:
     def get_batch(self, indices: np.ndarray) -> np.ndarray:
         return np.asarray(self._data[indices])
 
+    def device_images(self):
+        """The full uint8 image store, resident in device HBM (uploaded once
+        per process, shared by every loader over this source). The whole
+        reference-scale dataset is ~512 MB — trivially HBM-resident — and
+        keeping it on device removes the per-epoch re-upload of every batch
+        (the dominant validation cost through a slow host<->device link;
+        docs/PERF_NOTES.md epoch-overhead attribution)."""
+        if getattr(self, "_device_images", None) is None:
+            import jax
+
+            self._device_images = jax.device_put(np.asarray(self._data))
+        return self._device_images
+
+    def nbytes(self) -> int:
+        return int(np.prod(self._data.shape))
+
 
 class ArraySource:
     """In-memory source over a pre-built uint8 array (synthetic data, tests)."""
@@ -180,3 +196,13 @@ class ArraySource:
 
     def get_batch(self, indices: np.ndarray) -> np.ndarray:
         return self.images[indices]
+
+    def device_images(self):
+        if getattr(self, "_device_images", None) is None:
+            import jax
+
+            self._device_images = jax.device_put(self.images)
+        return self._device_images
+
+    def nbytes(self) -> int:
+        return int(self.images.nbytes)

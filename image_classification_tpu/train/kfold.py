@@ -19,7 +19,7 @@ from typing import Any
 
 import numpy as np
 
-from image_classification_tpu.data.loader import DataLoader
+from image_classification_tpu.data.loader import DataLoader, device_cache_wanted
 from image_classification_tpu.data.manifest import (
     Manifest,
     distribution_stats,
@@ -63,16 +63,17 @@ def make_fold_loaders(
         )
     else:
         sampler = ShuffleSampler(len(train_idx), seed=cfg.seed)
+    cache = device_cache_wanted(cfg, source)
     train_loader = DataLoader(
         source, manifest, indices=train_idx, batch_size=cfg.batch_size,
         sampler=sampler, drop_last=True, pad_last=False, mesh=mesh,
-        prefetch_depth=cfg.prefetch_depth,
+        prefetch_depth=cfg.prefetch_depth, device_cache=cache,
     )
     val_loader = DataLoader(
         source, manifest, indices=val_idx,
         batch_size=cfg.batch_size * cfg.val_batch_multiplier,
         sampler=SequentialSampler(len(val_idx)), pad_last=True, mesh=mesh,
-        prefetch_depth=cfg.prefetch_depth,
+        prefetch_depth=cfg.prefetch_depth, device_cache=cache,
     )
     return train_loader, val_loader, train_labels
 

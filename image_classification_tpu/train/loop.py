@@ -226,6 +226,11 @@ def train_fold(
     step_key = prng.fold_name(fold_key, "steps")
     lr_schedule = build_lr_schedule(cfg, steps_per_epoch)
     lr_monitor = LRMonitor()
+    # Background checkpoint writer: device snapshots are handed to a thread
+    # that does the (slow) device->host pull + disk write while the next
+    # epoch trains. best_box carries the pulled best-model host tree.
+    writer = ckpt.AsyncCheckpointWriter()
+    best_box: dict = {}
 
     profiled = False
     for epoch in range(start_epoch, cfg.epochs):
@@ -282,19 +287,41 @@ def train_fold(
 
         if val["accuracy"] > best_val_acc:
             best_val_acc = val["accuracy"]
-            eval_params = state.eval_params(use_ema=cfg.use_ema)
-            best_variables = {"params": jax.tree.map(np.asarray, eval_params)}
-            if state.batch_stats is not None:
-                best_variables["batch_stats"] = jax.tree.map(
-                    np.asarray, state.batch_stats
-                )
             patience_counter = 0
-            ckpt.save_best(
-                cfg.model_save_path, fold,
-                best_variables["params"],
-                best_variables.get("batch_stats"),
-                best_val_acc,
-            )
+            if cfg.async_checkpoint:
+                snap_p = ckpt.snapshot_device_tree(
+                    state.eval_params(use_ema=cfg.use_ema)
+                )
+                snap_bs = (
+                    ckpt.snapshot_device_tree(state.batch_stats)
+                    if state.batch_stats is not None
+                    else None
+                )
+
+                def _best_job(p=snap_p, bs=snap_bs, acc=best_val_acc):
+                    host = {"params": jax.tree.map(np.asarray, p)}
+                    if bs is not None:
+                        host["batch_stats"] = jax.tree.map(np.asarray, bs)
+                    ckpt.save_best(
+                        cfg.model_save_path, fold, host["params"],
+                        host.get("batch_stats"), acc,
+                    )
+                    best_box["variables"] = host
+
+                writer.submit(_best_job)
+            else:
+                eval_params = state.eval_params(use_ema=cfg.use_ema)
+                best_variables = {"params": jax.tree.map(np.asarray, eval_params)}
+                if state.batch_stats is not None:
+                    best_variables["batch_stats"] = jax.tree.map(
+                        np.asarray, state.batch_stats
+                    )
+                ckpt.save_best(
+                    cfg.model_save_path, fold,
+                    best_variables["params"],
+                    best_variables.get("batch_stats"),
+                    best_val_acc,
+                )
         else:
             patience_counter += 1
 
@@ -318,18 +345,38 @@ def train_fold(
         )
         lr_monitor.record(int(state.step), current_lr)
 
-        ckpt.save_train_state(
-            cfg.output_dir, fold, state, epoch, cfg,
-            host_state={
+        stopping = patience_counter >= cfg.patience
+        if cfg.save_state_every > 0 and (
+            (epoch + 1 - start_epoch) % cfg.save_state_every == 0
+            or epoch == cfg.epochs - 1
+            or stopping
+        ):
+            host_state = {
                 "best_val_acc": best_val_acc,
                 "patience_counter": patience_counter,
                 "plateau": plateau.state_dict() if plateau is not None else None,
-            },
-        )
+            }
+            if cfg.async_checkpoint:
+                writer.submit(
+                    ckpt.save_train_state,
+                    cfg.output_dir, fold, ckpt.snapshot_device_tree(state),
+                    epoch, cfg, host_state=host_state,
+                )
+            else:
+                ckpt.save_train_state(
+                    cfg.output_dir, fold, state, epoch, cfg,
+                    host_state=host_state,
+                )
 
-        if patience_counter >= cfg.patience:
+        if stopping:
             logger.info("fold %d: early stopping after epoch %d", fold, epoch + 1)
             break
+
+    # All pending checkpoint pulls/writes must land before the fold result
+    # is assembled (and before SWA may overwrite the best checkpoint).
+    writer.join()
+    if "variables" in best_box:
+        best_variables = best_box["variables"]
 
     # ---- SWA finalization (`previous/V3-efb2/...:445-507`): average the
     # post-swa_start snapshots, refresh BN stats, keep it if it validates

@@ -27,6 +27,60 @@ def _ckptr() -> ocp.PyTreeCheckpointer:
     return ocp.PyTreeCheckpointer()
 
 
+class AsyncCheckpointWriter:
+    """Runs checkpoint jobs on a background thread, one at a time.
+
+    The device->host pull of a full TrainState (~1.4 GB) through a slow
+    host link can take minutes (docs/PERF_NOTES.md epoch-overhead
+    attribution); with the device arrays snapshotted first (see
+    ``snapshot_device_tree``), the pull + disk write overlap the next
+    epoch's training. ``submit`` joins any pending job first, so at most
+    one save is in flight and writes land in submission order. Exceptions
+    from a job re-raise on the next ``join``/``submit``.
+    """
+
+    def __init__(self) -> None:
+        self._thread = None
+        self._err: BaseException | None = None
+
+    def submit(self, fn, *args, **kwargs) -> None:
+        self.join()
+
+        def run() -> None:
+            try:
+                fn(*args, **kwargs)
+            except BaseException as e:  # surfaced on join
+                self._err = e
+
+        import threading
+
+        self._thread = threading.Thread(target=run, daemon=True)
+        self._thread.start()
+
+    def join(self) -> None:
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
+
+
+def snapshot_device_tree(tree: Any) -> Any:
+    """Device-side copy of every jax.Array leaf (host leaves pass through).
+
+    The train step donates its input state, so a checkpoint job running
+    concurrently with further training must read from its own buffers; an
+    on-device copy is ~ms while the host pull it decouples is ~minutes.
+    """
+    import jax.numpy as jnp
+
+    def copy(leaf: Any) -> Any:
+        return jnp.array(leaf, copy=True) if isinstance(leaf, jax.Array) else leaf
+
+    return jax.tree.map(copy, tree)
+
+
 def save_tree(path: str, tree: Any, metadata: dict | None = None) -> None:
     """Crash-safe save: write to a temp sibling, then swap into place.
 

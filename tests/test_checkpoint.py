@@ -95,3 +95,55 @@ def test_select_best_fold(tmp_path, state):
     ckpt.save_best(str(tmp_path), 3, state.params, None, 0.85)
     fold, acc = select_best_fold(str(tmp_path), [1, 2, 3])
     assert fold == 2 and acc == pytest.approx(0.91)
+
+
+def test_async_writer_roundtrip(tmp_path, state):
+    cfg = Config()
+    writer = ckpt.AsyncCheckpointWriter()
+    snap = ckpt.snapshot_device_tree(state)
+    writer.submit(
+        ckpt.save_train_state, str(tmp_path), 1, snap, 3, cfg,
+        host_state={"best_val_acc": 0.5},
+    )
+    writer.join()
+    restored, next_epoch, host = ckpt.load_train_state(str(tmp_path), 1, state)
+    assert next_epoch == 4
+    assert host["best_val_acc"] == pytest.approx(0.5)
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["dense"]["kernel"]), np.ones((4, 4))
+    )
+
+
+def test_async_writer_serializes_and_raises(tmp_path):
+    writer = ckpt.AsyncCheckpointWriter()
+    order = []
+    writer.submit(order.append, 1)
+    writer.submit(order.append, 2)  # joins job 1 first
+    writer.join()
+    assert order == [1, 2]
+
+    def boom():
+        raise RuntimeError("disk full")
+
+    writer.submit(boom)
+    with pytest.raises(RuntimeError, match="disk full"):
+        writer.join()
+    writer.join()  # error is consumed; writer is reusable
+
+
+def test_snapshot_survives_donation(state):
+    """The snapshot must stay readable after the original buffers are
+    donated (the reason snapshots exist)."""
+    import jax
+
+    snap = ckpt.snapshot_device_tree(state)
+
+    @jax.jit
+    def bump(p):
+        return jax.tree.map(lambda a: a + 1, p)
+
+    bumped = jax.jit(bump, donate_argnums=0)(state.params)
+    del bumped
+    np.testing.assert_array_equal(
+        np.asarray(snap.params["dense"]["kernel"]), np.ones((4, 4))
+    )

@@ -166,3 +166,47 @@ def test_loader_subset_indices(ds):
     dl = DataLoader(src, m, indices=sub, batch_size=16, pad_last=True)
     seen = np.concatenate([b["index"][b["mask"]] for b in dl])
     np.testing.assert_array_equal(np.sort(seen), sub)
+
+
+def test_loader_device_cache_matches_host_path(ds):
+    """HBM-resident gather path yields bit-identical batches to the host
+    assembly path (incl. zeroed padding rows on the ragged final batch)."""
+    m = Manifest.from_csv(ds["train_csv"])
+    src = ArraySource(synthetic_images(m.labels, seed=0))
+    sub = np.arange(0, 110)  # ragged: 110 = 3*32 + 14
+    kw = dict(indices=sub, batch_size=32, pad_last=True)
+    host = list(DataLoader(src, m, **kw))
+    dev = list(DataLoader(src, m, device_cache=True, **kw))
+    assert len(host) == len(dev) == 4
+    for hb, db in zip(host, dev):
+        np.testing.assert_array_equal(hb["image"], np.asarray(db["image"]))
+        np.testing.assert_array_equal(hb["label"], np.asarray(db["label"]))
+        np.testing.assert_array_equal(hb["mask"], np.asarray(db["mask"]))
+        np.testing.assert_array_equal(hb["index"], db["index"])
+
+
+def test_loader_device_cache_disabled_on_multidevice_mesh(ds, eight_device_mesh):
+    m = Manifest.from_csv(ds["train_csv"])
+    src = ArraySource(synthetic_images(m.labels, seed=0))
+    dl = DataLoader(
+        src, m, batch_size=16, drop_last=True, mesh=eight_device_mesh,
+        device_cache=True,
+    )
+    assert not dl._cache_active()  # falls back to the host path
+    batch = next(iter(dl))
+    shard_shapes = {s.data.shape for s in batch["image"].addressable_shards}
+    assert shard_shapes == {(2, 60, 80, 3)}
+
+
+def test_device_cache_wanted_resolution(ds):
+    from image_classification_tpu.core.config import Config
+    from image_classification_tpu.data.loader import device_cache_wanted
+
+    m = Manifest.from_csv(ds["train_csv"])
+    src = ArraySource(synthetic_images(m.labels, seed=0))
+    assert device_cache_wanted(Config(hbm_cache="on"), src)
+    assert not device_cache_wanted(Config(hbm_cache="off"), src)
+    assert device_cache_wanted(Config(hbm_cache="auto"), src)  # tiny store
+    assert not device_cache_wanted(
+        Config(hbm_cache="auto", hbm_cache_limit_mb=0), src
+    )

@@ -267,3 +267,38 @@ def test_imbalance_swa_pipeline(tmp_path_factory):
     assert len(result.history) == 3
     assert np.isfinite(result.history[-1]["train_loss"])
     assert result.best_val_acc >= 0.0
+
+
+def test_save_state_cadence(smoke_cfg, monkeypatch):
+    """save_state_every=2 saves at epochs 1 and 3 (final) only; async
+    writer still lands every save before the fold returns."""
+    from image_classification_tpu.train import loop as loop_mod
+    from image_classification_tpu.utils import checkpoint as ckpt_mod
+
+    cfg, ds = smoke_cfg
+    cfg = cfg.replace(
+        epochs=4, num_folds=2, save_state_every=2,
+        model_save_path=cfg.model_save_path + "_cad",
+        output_dir=cfg.output_dir + "_cad",
+    )
+    saved_epochs = []
+    real_save = ckpt_mod.save_train_state
+
+    def spy(output_dir, fold, state, epoch, cfg_, host_state=None):
+        saved_epochs.append((fold, epoch))
+        return real_save(output_dir, fold, state, epoch, cfg_,
+                         host_state=host_state)
+
+    monkeypatch.setattr(loop_mod.ckpt, "save_train_state", spy)
+    manifest = Manifest.from_csv(cfg.train_csv, num_classes=cfg.num_classes)
+    results = train_k_fold(cfg, manifest=manifest)
+    assert len(results) == 2
+    assert sorted(e for f, e in saved_epochs if f == 1) == [1, 3]
+    # the final (epoch-3) checkpoint is durable on disk
+    from image_classification_tpu.utils.checkpoint import (
+        load_metadata,
+        resume_path,
+    )
+
+    meta = load_metadata(resume_path(cfg.output_dir, 1))
+    assert meta["epoch"] == 3
