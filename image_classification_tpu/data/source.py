@@ -166,12 +166,10 @@ class ImageSource:
         per process, shared by every loader over this source). The whole
         reference-scale dataset is ~512 MB — trivially HBM-resident — and
         keeping it on device removes the per-epoch re-upload of every batch
-        (the dominant validation cost through a slow host<->device link;
-        docs/PERF_NOTES.md epoch-overhead attribution)."""
+        and any dependence on the host link (docs/PERF_NOTES.md
+        epoch-overhead attribution)."""
         if getattr(self, "_device_images", None) is None:
-            import jax
-
-            self._device_images = jax.device_put(np.asarray(self._data))
+            self._device_images = _chunked_device_upload(self._data)
         return self._device_images
 
     def nbytes(self) -> int:
@@ -199,10 +197,31 @@ class ArraySource:
 
     def device_images(self):
         if getattr(self, "_device_images", None) is None:
-            import jax
-
-            self._device_images = jax.device_put(self.images)
+            self._device_images = _chunked_device_upload(self.images)
         return self._device_images
 
     def nbytes(self) -> int:
         return int(self.images.nbytes)
+
+
+def _chunked_device_upload(data, chunk_mb: int = 16):
+    """Upload a big host array as pipelined ~16 MB device_puts, then stitch
+    on device. Measured through the axon tunnel (docs/PERF_NOTES.md): one
+    monolithic 512 MB device_put runs at 2.3 MB/s (226 s!), 1 MB chunks at
+    0.9 MB/s (per-put overhead), 4-64 MB chunks at ~40-44 MB/s with 16 MB
+    the sweet spot. The concatenate is a device-side HBM copy (~ms); the
+    chunk buffers are dropped right after."""
+    import jax
+    import jax.numpy as jnp
+
+    data = np.asarray(data)
+    per_row = max(1, int(np.prod(data.shape[1:], dtype=np.int64)))
+    rows = max(1, (chunk_mb * 1024 * 1024) // per_row)
+    if len(data) <= rows:
+        return jax.device_put(data)
+    chunks = [
+        jax.device_put(data[i : i + rows]) for i in range(0, len(data), rows)
+    ]
+    out = jnp.concatenate(chunks, axis=0)
+    out.block_until_ready()
+    return out

@@ -210,3 +210,19 @@ def test_device_cache_wanted_resolution(ds):
     assert not device_cache_wanted(
         Config(hbm_cache="auto", hbm_cache_limit_mb=0), src
     )
+
+
+def test_chunked_device_upload_stitches_exactly():
+    """The chunked upload (tunnel workaround, see source.py) must reproduce
+    the array exactly across chunk boundaries, including a ragged tail."""
+    from image_classification_tpu.data.source import _chunked_device_upload
+
+    rng = np.random.default_rng(3)
+    data = rng.integers(0, 256, size=(70, 64, 64, 3)).astype(np.uint8)
+    # ~12 KB rows; 1 MB chunks -> 85-row chunks... force multiple chunks by
+    # computing with the real row size: 64*64*3 = 12288 B -> 85 rows/MB
+    dev = _chunked_device_upload(data, chunk_mb=1)  # 1 chunk (70 < 85)
+    np.testing.assert_array_equal(np.asarray(dev), data)
+    big = rng.integers(0, 256, size=(200, 64, 64, 3)).astype(np.uint8)
+    dev = _chunked_device_upload(big, chunk_mb=1)  # 3 chunks: 85+85+30
+    np.testing.assert_array_equal(np.asarray(dev), big)

@@ -63,9 +63,12 @@ def main() -> None:
         print(f"{name}: {dt*1e3:.2f} ms/batch, {batch/dt:.0f} img/s", flush=True)
         return dt
 
-    a = pure_time(bilinear_gather_mxu, "xla two-contraction")
+    from image_classification_tpu.aug.geometry import bilinear_gather_mxu_xfirst
+
+    a = pure_time(bilinear_gather_mxu, "xla y-first        ")
+    c = pure_time(bilinear_gather_mxu_xfirst, "xla x-first        ")
     b = pure_time(warp_pallas, "pallas fused       ")
-    print(f"pallas/xla: {b/a:.3f}x")
+    print(f"pallas/xla: {b/a:.3f}x  xfirst/yfirst: {c/a:.3f}x")
 
     # numerics spot check on device
     ref = np.asarray(bilinear_gather_mxu(img, coords)).astype(np.float32)
