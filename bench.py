@@ -110,16 +110,23 @@ def bench_aug(jax, cfg, n_iters: int = 50) -> float:
 
 
 def bench_infer(jax, cfg, n_batches: int = 20, n_models: int = 2) -> float:
-    """Ensemble TTA inference: n_models fold-models x 4 scale4 views."""
+    """Ensemble TTA inference: n_models fold-models x 4 scale4 views, the
+    views stacked into ONE (4B) forward per model and the preprocessed view
+    tensor shared across models (train/step.py make_eval_views)."""
     import jax.numpy as jnp
 
     from image_classification_tpu.infer.tta import get_tta
     from image_classification_tpu.models.factory import create_model
-    from image_classification_tpu.train.step import make_predict_step
+    from image_classification_tpu.train.step import (
+        make_eval_views,
+        make_forward_views,
+        tta_num_views,
+    )
 
     bundle = create_model(cfg)
     tta = get_tta(cfg)
-    predict = make_predict_step(bundle, cfg, tta)
+    views_fn = make_eval_views(cfg, tta)
+    forward = make_forward_views(bundle, cfg, tta_num_views(cfg, tta))
     variables = [bundle.init(jax.random.key(10 + i)) for i in range(n_models)]
 
     b = cfg.batch_size * cfg.val_batch_multiplier
@@ -128,9 +135,10 @@ def bench_infer(jax, cfg, n_batches: int = 20, n_models: int = 2) -> float:
         rng.integers(0, 256, size=(b, *cfg.native_size, 3)).astype(np.uint8)
     )
 
-    @jax.jit  # one dispatch per batch: both models + all views + the mean
+    @jax.jit  # one dispatch per batch: shared views, both models, the mean
     def ensemble(variables, images):
-        probs = [predict(v, images) for v in variables]
+        xb = views_fn(images)
+        probs = [forward(v, xb) for v in variables]
         return jnp.mean(jnp.stack(probs), axis=0)
 
     float(jnp.sum(ensemble(variables, images)))  # compile + warm
@@ -165,6 +173,12 @@ def main() -> None:
     ).validate()
 
     train_ips = bench_train(jax, cfg)
+    # The parity recipe keeps the reference's accum=2 (configs/v4.json);
+    # report its throughput alongside so the headline (accum=1, the TPU
+    # performance setting) and the recipe number are both visible.
+    train_ips_accum2 = bench_train(
+        jax, cfg.replace(gradient_accumulation_steps=2), n_steps=20
+    )
     aug_ips = bench_aug(jax, cfg)
     infer_ips = bench_infer(jax, cfg)
 
@@ -178,6 +192,9 @@ def main() -> None:
                 "unit": "images/sec/chip",
                 "vs_baseline": round(per_chip / REFERENCE_IMAGES_PER_SEC, 3),
                 "extra_metrics": {
+                    "train_accum2_images_per_sec_per_chip": round(
+                        train_ips_accum2 / n_chips, 2
+                    ),
                     "aug_pipeline_images_per_sec": round(aug_ips, 1),
                     "tta_ensemble_infer_images_per_sec": round(infer_ips, 1),
                 },

@@ -100,23 +100,33 @@ def cmd_predict(args) -> None:
 
     cfg = _build_cfg(args)
     logger = setup_logging()
+    if cfg.norm_stats == "dataset":
+        # inference must normalize with the SAME train-set stats as training
+        # (example.py:119-135); resolved from the cached JSON when present.
+        from image_classification_tpu.data.stats import resolve_norm_stats
+
+        train_manifest = Manifest.from_csv(cfg.train_csv, num_classes=cfg.num_classes)
+        cfg = resolve_norm_stats(cfg, build_source(cfg, train_manifest, cfg.train_dir))
     bundle = create_model(cfg)
     import jax
 
     variables = bundle.init(jax.random.key(0))
     folds = args.folds or [1]
+    metric = getattr(args, "metric", "acc")
     if args.best_fold:
-        # pick the single best checkpoint by stored val_acc (example.py:452-460)
-        best, acc = ckpt.select_best_fold(cfg.model_save_path, folds)
-        logger.info("best fold by stored val_acc: %d (%.4f)", best, acc)
+        # pick the single best checkpoint by the stored metric
+        # (example.py:452-460; best-loss tier example.py:380-390)
+        best, score = ckpt.select_best_fold(cfg.model_save_path, folds, metric)
+        logger.info("best fold by stored val_%s: %d (%.4f)", metric, best, score)
         folds = [best]
     bundles, var_list = [], []
     for fold in folds:
         template = {"params": variables["params"]}
         if "batch_stats" in variables:
             template["batch_stats"] = variables["batch_stats"]
-        tree, meta = ckpt.load_best(cfg.model_save_path, fold, template)
-        logger.info("fold %d checkpoint: val_acc=%s", fold, meta.get("val_acc"))
+        tree, meta = ckpt.load_best(cfg.model_save_path, fold, template, metric)
+        logger.info("fold %d checkpoint (%s tier): val_acc=%s val_loss=%s",
+                    fold, metric, meta.get("val_acc"), meta.get("val_loss"))
         bundles.append(bundle)
         var_list.append(tree)
 
@@ -176,7 +186,10 @@ def main() -> None:
                         default=None,
                         help="(predict) fold checkpoints to ensemble, e.g. --folds 1,2,3")
         sp.add_argument("--best-fold", action="store_true",
-                        help="(predict) use only the fold with the best stored val_acc")
+                        help="(predict) use only the fold with the best stored metric")
+        sp.add_argument("--metric", choices=("acc", "loss"), default="acc",
+                        help="(predict) checkpoint tier to load/select: "
+                             "best-val-acc or best-val-loss (example.py:380-390)")
         sp.add_argument("overrides", nargs="*", help="key=value overrides")
         sp.set_defaults(fn=fn)
     args = p.parse_args()

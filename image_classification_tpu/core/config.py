@@ -98,6 +98,9 @@ class Config:
     mix_prob: float = 0.5
     # Normalization. ImageNet stats by default (reference `dataset.py:233-236`);
     # the notebook pipeline used dataset-computed stats (`example.py:134-135`).
+    # norm_stats="dataset" computes (and caches) the train set's channel
+    # mean/std and overrides mean/std with them (data/stats.py).
+    norm_stats: str = "imagenet"        # "imagenet" | "dataset"
     mean: tuple[float, float, float] = (0.485, 0.456, 0.406)
     std: tuple[float, float, float] = (0.229, 0.224, 0.225)
 
@@ -147,6 +150,13 @@ class Config:
     batch_size: int = 32
     val_batch_multiplier: int = 2       # reference `train_advanced_v4.py:618`
     epochs: int = 20
+    # "kfold": stratified K-fold CV (`train_advanced_v4.py:572-575`).
+    # "holdout": ONE stratified train/val split of `val_fraction` — the V3.1
+    # single-split trainer (`V3.1/train_advanced_v3.2.py:539-544`), with its
+    # pre-split oversampling of ultra-rare classes to >=2 samples
+    # (`V3.1/...:521-536`).
+    split_mode: str = "kfold"
+    val_fraction: float = 0.1
     num_folds: int = 3
     fold_seed: int = 42                 # reference `train_advanced_v4.py:572`
     patience: int = 4
@@ -203,6 +213,10 @@ class Config:
     # ------------------------------------------------------------- inference
     tta_transforms: int = 4             # 0 = plain softmax
     tta_mode: str = "scale4"            # scale4 (v4) | flip6 (example.py)
+    # Second best-checkpoint tier keyed on lowest val loss, alongside the
+    # best-acc tier — the notebook pipeline saved and could ensemble both
+    # (`example.py:380-390,452-460`).
+    save_best_loss: bool = True
 
     # ---------------------------------------------------------------- system
     mesh_data: int = -1                 # -1: all remaining devices
@@ -276,6 +290,12 @@ class Config:
             raise ValueError(f"unknown block_remat {self.block_remat!r}")
         if self.hbm_cache not in ("auto", "on", "off"):
             raise ValueError(f"unknown hbm_cache {self.hbm_cache!r}")
+        if self.norm_stats not in ("imagenet", "dataset"):
+            raise ValueError(f"unknown norm_stats {self.norm_stats!r}")
+        if self.split_mode not in ("kfold", "holdout"):
+            raise ValueError(f"unknown split_mode {self.split_mode!r}")
+        if not 0.0 < self.val_fraction < 1.0:
+            raise ValueError("val_fraction must be in (0, 1)")
         return self
 
 

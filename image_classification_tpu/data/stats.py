@@ -9,7 +9,13 @@ exactly (two-pass, float64 accumulation) from any image source.
 
 from __future__ import annotations
 
+import json
+import logging
+import os
+
 import numpy as np
+
+logger = logging.getLogger("ic_tpu")
 
 
 def compute_channel_stats(
@@ -30,3 +36,36 @@ def compute_channel_stats(
     var = total_sq / count - mean ** 2
     std = np.sqrt(np.maximum(var, 0.0))
     return tuple(float(m) for m in mean), tuple(float(s) for s in std)
+
+
+def resolve_norm_stats(cfg, source) -> "cfg":
+    """Apply ``cfg.norm_stats``: with ``"dataset"``, compute (and cache)
+    train-set channel stats and return a config with mean/std replaced —
+    the notebook pipeline's normalization (`example.py:119-135`). With
+    ``"imagenet"`` (default) the config passes through unchanged.
+
+    The stats are cached as JSON in ``cfg.cache_dir`` keyed by the source's
+    decode-cache key, so training and later standalone inference resolve the
+    exact same values.
+    """
+    if cfg.norm_stats == "imagenet":
+        return cfg
+    key = source._cache_key() if hasattr(source, "_cache_key") else None
+    path = (
+        os.path.join(cfg.cache_dir, f"channel_stats_{key}.json")
+        if key is not None
+        else None
+    )
+    if path is not None and os.path.exists(path):
+        with open(path) as f:
+            stats = json.load(f)
+        mean, std = tuple(stats["mean"]), tuple(stats["std"])
+        logger.info("dataset channel stats (cached): mean=%s std=%s", mean, std)
+    else:
+        mean, std = compute_channel_stats(source)
+        logger.info("dataset channel stats (computed): mean=%s std=%s", mean, std)
+        if path is not None:
+            os.makedirs(cfg.cache_dir, exist_ok=True)
+            with open(path, "w") as f:
+                json.dump({"mean": mean, "std": std}, f)
+    return cfg.replace(mean=mean, std=std)

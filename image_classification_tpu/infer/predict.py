@@ -18,7 +18,11 @@ import numpy as np
 import pandas as pd
 
 from image_classification_tpu.infer.tta import get_tta
-from image_classification_tpu.train.step import make_predict_step
+from image_classification_tpu.train.step import (
+    make_eval_views,
+    make_forward_views,
+    tta_num_views,
+)
 
 logger = logging.getLogger("ic_tpu")
 
@@ -35,8 +39,13 @@ def predict_ensemble(
         logger.error("no models available for prediction")
         return [], np.array([]), np.array([])
     tta = get_tta(cfg)
-    steps = [
-        jax.jit(make_predict_step(b, cfg, tta)) for b in bundles
+    n_views = tta_num_views(cfg, tta)
+    # The preprocessed TTA-view tensor is built ONCE per batch and shared by
+    # every fold-model; each model runs one forward over all views stacked
+    # along the batch dim (train/step.py make_eval_views).
+    views_fn = jax.jit(make_eval_views(cfg, tta))
+    forwards = [
+        jax.jit(make_forward_views(b, cfg, n_views)) for b in bundles
     ]
     if weights is None:
         w = np.ones(len(bundles)) / len(bundles)
@@ -47,10 +56,12 @@ def predict_ensemble(
     all_probs: list[np.ndarray] = []
     id_iter = test_loader.batch_ids()
     for batch, batch_ids in zip(test_loader, id_iter):
-        probs = None
-        for wi, (step, variables) in enumerate(zip(steps, variables_list)):
-            p = np.asarray(step(variables, batch["image"]))
-            probs = p * w[wi] if probs is None else probs + p * w[wi]
+        xb = views_fn(batch["image"])
+        probs_dev = None
+        for wi, (fwd, variables) in enumerate(zip(forwards, variables_list)):
+            p = fwd(variables, xb) * float(w[wi])
+            probs_dev = p if probs_dev is None else probs_dev + p
+        probs = np.asarray(probs_dev)  # one device->host pull per batch
         mask = np.asarray(batch["mask"])
         probs = probs[mask]
         all_probs.append(probs)

@@ -32,7 +32,11 @@ from image_classification_tpu.data.sampling import (
     inverse_frequency_weights,
 )
 from image_classification_tpu.data.source import ImageSource
-from image_classification_tpu.data.splits import oversample_minority, stratified_kfold
+from image_classification_tpu.data.splits import (
+    oversample_minority,
+    stratified_kfold,
+    stratified_split,
+)
 from image_classification_tpu.train.loop import FoldResult, train_fold
 
 logger = logging.getLogger("ic_tpu")
@@ -141,14 +145,33 @@ def train_k_fold(
         )
     if source is None:
         source = build_source(cfg, manifest, cfg.train_dir)
+    if cfg.norm_stats == "dataset":
+        from image_classification_tpu.data.stats import resolve_norm_stats
+
+        cfg = resolve_norm_stats(cfg, source)
     results: list[FoldResult] = []
     shared: dict = {}  # compiled steps reused across folds (see train_fold)
-    splits = stratified_kfold(manifest.labels, cfg.num_folds, seed=cfg.fold_seed)
+    if cfg.split_mode == "holdout":
+        # V3.1 single-split trainer (`V3.1/train_advanced_v3.2.py:539-544`):
+        # oversample ultra-rare classes to >=2 pre-split so stratification
+        # is possible (`V3.1/...:521-536`), then ONE stratified split. The
+        # rest of the stack treats it as a 1-fold run (checkpoints land as
+        # fold 1).
+        base = oversample_minority(manifest.labels, 2, seed=cfg.seed)
+        tr, va = stratified_split(
+            manifest.labels[base], cfg.val_fraction, seed=cfg.seed
+        )
+        splits: Any = [(base[tr], base[va])]
+        logger.info(
+            "holdout split: train %d / val %d (val_fraction %.2f)",
+            len(tr), len(va), cfg.val_fraction,
+        )
+    else:
+        splits = stratified_kfold(
+            manifest.labels, cfg.num_folds, seed=cfg.fold_seed
+        )
     if cfg.fold_parallel:
         from image_classification_tpu.train.foldpar import train_k_fold_parallel
-
-        if resume:
-            logger.warning("fold_parallel does not support resume; ignoring")
 
         def make_loaders(fold, train_idx, val_idx):
             t, v, _ = make_fold_loaders(
@@ -157,12 +180,14 @@ def train_k_fold(
             return t, v
 
         return train_k_fold_parallel(
-            cfg, splits, make_loaders, mesh, model_name=model_name
+            cfg, splits, make_loaders, mesh, model_name=model_name,
+            resume=resume,
         )
+    n_total = 1 if cfg.split_mode == "holdout" else cfg.num_folds
     for fold, (train_idx, val_idx) in enumerate(splits, start=1):
         logger.info(
             "fold %d/%d: train %d / val %d",
-            fold, cfg.num_folds, len(train_idx), len(val_idx),
+            fold, n_total, len(train_idx), len(val_idx),
         )
         try:
             train_loader, val_loader, train_labels = make_fold_loaders(

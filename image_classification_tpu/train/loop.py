@@ -208,6 +208,7 @@ def train_fold(
     # Host-side fold bookkeeping — restored on resume so a resumed fold is
     # the exact continuation (no re-saving a worse "best", no patience reset).
     best_val_acc = float(resumed_host.get("best_val_acc", -1.0))
+    best_val_loss = float(resumed_host.get("best_val_loss", float("inf")))
     best_variables: dict = {}
     patience_counter = int(resumed_host.get("patience_counter", 0))
     if plateau is not None and resumed_host.get("plateau"):
@@ -244,6 +245,7 @@ def train_fold(
         if cfg.profile_dir and epoch == start_epoch + 1 and not profiled:
             profiled = True
             jax.profiler.start_trace(cfg.profile_dir)
+        step_i = 0
         while True:
             with timer.data_wait():
                 batch = next(it, None)
@@ -253,6 +255,24 @@ def train_fold(
                 state, metrics = train_step(state, batch, step_key)
             losses.append(metrics["loss"])
             accs.append(metrics["accuracy"])
+            step_i += 1
+            # In-epoch progress logging (`V3.1/train_advanced_v3.2.py:182-187`;
+            # tqdm postfix `train_advanced_v4.py:271-275`). The device
+            # readback happens only at log points, so steps in between stay
+            # fully async.
+            if cfg.log_interval > 0 and step_i % cfg.log_interval == 0:
+                lr_now = (
+                    plateau.lr if plateau is not None
+                    else (float(lr_schedule(int(state.step)))
+                          if callable(lr_schedule) else float(lr_schedule))
+                )
+                logger.info(
+                    "fold %d epoch %d step %d/%d: loss %.4f acc %.4f "
+                    "lr %.2e (%.1f img/s)",
+                    fold, epoch + 1, step_i, steps_per_epoch,
+                    float(metrics["loss"]), float(metrics["accuracy"]),
+                    lr_now, timer.images_per_sec,
+                )
         # block on the last step so timing is honest
         jax.block_until_ready(state.params)
         if profiled and cfg.profile_dir and epoch == start_epoch + 1:
@@ -285,9 +305,18 @@ def train_fold(
         if cfg.use_swa and (epoch + 1) >= cfg.swa_start_epoch:
             state = swa_update(state)
 
-        if val["accuracy"] > best_val_acc:
+        improved_acc = val["accuracy"] > best_val_acc
+        improved_loss = cfg.save_best_loss and val["loss"] < best_val_loss
+        if improved_acc:
             best_val_acc = val["accuracy"]
             patience_counter = 0
+        else:
+            patience_counter += 1
+        if improved_loss:
+            best_val_loss = val["loss"]
+        if improved_acc or improved_loss:
+            # One device snapshot serves both tiers (they are the same
+            # weights this epoch); the slow device->host pull happens once.
             if cfg.async_checkpoint:
                 snap_p = ckpt.snapshot_device_tree(
                     state.eval_params(use_ema=cfg.use_ema)
@@ -298,32 +327,46 @@ def train_fold(
                     else None
                 )
 
-                def _best_job(p=snap_p, bs=snap_bs, acc=best_val_acc):
+                def _best_job(p=snap_p, bs=snap_bs, acc=val["accuracy"],
+                              loss=val["loss"], ia=improved_acc,
+                              il=improved_loss):
                     host = {"params": jax.tree.map(np.asarray, p)}
                     if bs is not None:
                         host["batch_stats"] = jax.tree.map(np.asarray, bs)
-                    ckpt.save_best(
-                        cfg.model_save_path, fold, host["params"],
-                        host.get("batch_stats"), acc,
-                    )
-                    best_box["variables"] = host
+                    if ia:
+                        ckpt.save_best(
+                            cfg.model_save_path, fold, host["params"],
+                            host.get("batch_stats"), acc, val_loss=loss,
+                        )
+                        best_box["variables"] = host
+                    if il:
+                        ckpt.save_best(
+                            cfg.model_save_path, fold, host["params"],
+                            host.get("batch_stats"), acc, val_loss=loss,
+                            metric="loss",
+                        )
 
                 writer.submit(_best_job)
             else:
                 eval_params = state.eval_params(use_ema=cfg.use_ema)
-                best_variables = {"params": jax.tree.map(np.asarray, eval_params)}
+                host = {"params": jax.tree.map(np.asarray, eval_params)}
                 if state.batch_stats is not None:
-                    best_variables["batch_stats"] = jax.tree.map(
+                    host["batch_stats"] = jax.tree.map(
                         np.asarray, state.batch_stats
                     )
-                ckpt.save_best(
-                    cfg.model_save_path, fold,
-                    best_variables["params"],
-                    best_variables.get("batch_stats"),
-                    best_val_acc,
-                )
-        else:
-            patience_counter += 1
+                if improved_acc:
+                    best_variables = host
+                    ckpt.save_best(
+                        cfg.model_save_path, fold, host["params"],
+                        host.get("batch_stats"), val["accuracy"],
+                        val_loss=val["loss"],
+                    )
+                if improved_loss:
+                    ckpt.save_best(
+                        cfg.model_save_path, fold, host["params"],
+                        host.get("batch_stats"), val["accuracy"],
+                        val_loss=val["loss"], metric="loss",
+                    )
 
         # plateau step BEFORE the epoch checkpoint so the injected LR and the
         # scheduler internals are part of the resumable state
@@ -353,6 +396,7 @@ def train_fold(
         ):
             host_state = {
                 "best_val_acc": best_val_acc,
+                "best_val_loss": best_val_loss,
                 "patience_counter": patience_counter,
                 "plateau": plateau.state_dict() if plateau is not None else None,
             }

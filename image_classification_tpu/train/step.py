@@ -226,28 +226,61 @@ def make_bn_update_step(bundle, cfg) -> Callable:
     return bn_step
 
 
-def make_predict_step(bundle, cfg, tta: Callable | None = None) -> Callable:
-    """Build ``predict_step(variables, images_u8) -> probs`` for inference.
-    With ``tta`` set, averages softmax over the TTA views
-    (`train_advanced_v4.py:317-347`)."""
-
+def make_eval_views(cfg, tta: Callable | None = None) -> Callable:
+    """Build ``views(images_u8) -> (V*B, H, W, C)``: eval preprocessing plus
+    the TTA views stacked along the batch dim (V=1 without TTA). Shared
+    across ensemble members — every fold-model consumes the same tensor, so
+    the preprocess + view construction runs once per batch, and each model
+    runs ONE forward over all views (V x the matmul batch instead of V
+    sequential dispatches — `train_advanced_v4.py:317-347` semantics at a
+    fraction of the cost)."""
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
-    def predict_step(variables: dict, images_u8: jnp.ndarray) -> jnp.ndarray:
+    def views(images_u8: jnp.ndarray) -> jnp.ndarray:
         x = eval_preprocess(
             images_u8, tuple(cfg.image_size), tuple(cfg.mean),
             tuple(cfg.std), dtype=dtype,
         )
-
-        def forward(img):
-            outputs = bundle.module.apply(variables, img, deterministic=True)
-            logits = outputs[0] if isinstance(outputs, (tuple, list)) else outputs
-            return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-
         if tta is None:
-            return forward(x)
-        views = tta(x)
-        probs = jnp.stack([forward(v) for v in views])
-        return jnp.mean(probs, axis=0)
+            return x
+        return jnp.concatenate(tta(x), axis=0)
+
+    return views
+
+
+def make_forward_views(bundle, cfg, n_views: int = 1) -> Callable:
+    """Build ``forward(variables, x_views) -> probs (B, C)``: one forward
+    over the stacked (V*B) views, softmax in f32, mean over views
+    (`train_advanced_v4.py:341-347`)."""
+
+    def forward(variables: dict, x_views: jnp.ndarray) -> jnp.ndarray:
+        outputs = bundle.module.apply(variables, x_views, deterministic=True)
+        logits = outputs[0] if isinstance(outputs, (tuple, list)) else outputs
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        if n_views == 1:
+            return probs
+        return jnp.mean(probs.reshape(n_views, -1, probs.shape[-1]), axis=0)
+
+    return forward
+
+
+def tta_num_views(cfg, tta: Callable | None) -> int:
+    """Number of views a TTA callable produces (probed on a dummy batch)."""
+    if tta is None:
+        return 1
+    dummy = jnp.zeros((1, *cfg.image_size, 3), jnp.float32)
+    return len(tta(dummy))
+
+
+def make_predict_step(bundle, cfg, tta: Callable | None = None) -> Callable:
+    """Build ``predict_step(variables, images_u8) -> probs`` for single-model
+    inference. With ``tta`` set, averages softmax over the TTA views
+    (`train_advanced_v4.py:317-347`), batched as one forward."""
+    n_views = tta_num_views(cfg, tta)
+    views = make_eval_views(cfg, tta)
+    forward = make_forward_views(bundle, cfg, n_views)
+
+    def predict_step(variables: dict, images_u8: jnp.ndarray) -> jnp.ndarray:
+        return forward(variables, views(images_u8))
 
     return predict_step

@@ -132,37 +132,63 @@ def load_metadata(path: str) -> dict:
 
 # --------------------------------------------------------------- best model
 
-def best_path(save_dir: str, fold: int) -> str:
-    return os.path.join(save_dir, f"best_model_fold{fold}")
+def best_path(save_dir: str, fold: int, metric: str = "acc") -> str:
+    """Two best-model tiers, like the notebook pipeline
+    (`example.py:380-390` saves best-score AND best-loss checkpoints):
+    ``metric='acc'`` is the V4 tier (`best_model_fold{k}`,
+    `train_advanced_v4.py:464-469`); ``metric='loss'`` the lowest-val-loss
+    tier."""
+    prefix = "best_model" if metric == "acc" else "best_loss_model"
+    return os.path.join(save_dir, f"{prefix}_fold{fold}")
 
 
 def save_best(
-    save_dir: str, fold: int, params: Any, batch_stats: Any, val_acc: float
+    save_dir: str,
+    fold: int,
+    params: Any,
+    batch_stats: Any,
+    val_acc: float,
+    val_loss: float | None = None,
+    metric: str = "acc",
 ) -> str:
-    """Weights-only best checkpoint (`train_advanced_v4.py:464-469`)."""
-    path = best_path(save_dir, fold)
+    """Weights-only best checkpoint (`train_advanced_v4.py:464-469`;
+    best-loss tier `example.py:380-390`)."""
+    path = best_path(save_dir, fold, metric)
     tree = {"params": params}
     if batch_stats is not None:
         tree["batch_stats"] = batch_stats
-    save_tree(path, tree, {"val_acc": float(val_acc), "fold": fold})
+    meta = {"val_acc": float(val_acc), "fold": fold, "metric": metric}
+    if val_loss is not None:
+        meta["val_loss"] = float(val_loss)
+    save_tree(path, tree, meta)
     return path
 
 
-def load_best(save_dir: str, fold: int, template: dict) -> tuple[dict, dict]:
-    path = best_path(save_dir, fold)
+def load_best(
+    save_dir: str, fold: int, template: dict, metric: str = "acc"
+) -> tuple[dict, dict]:
+    path = best_path(save_dir, fold, metric)
     return load_tree(path, template), load_metadata(path)
 
 
-def select_best_fold(save_dir: str, folds: list[int]) -> tuple[int, float]:
-    """Pick the fold checkpoint with the highest stored val_acc — the
-    notebook pipeline's best-checkpoint selection (`example.py:452-460`)."""
-    best_fold, best_acc = folds[0], -1.0
+def select_best_fold(
+    save_dir: str, folds: list[int], metric: str = "acc"
+) -> tuple[int, float]:
+    """Pick the fold checkpoint with the best stored metric — the notebook
+    pipeline's best-checkpoint selection (`example.py:452-460`). With
+    ``metric='acc'`` highest val_acc wins; with ``metric='loss'`` lowest
+    val_loss wins (from the best-loss tier)."""
+    sign = 1.0 if metric == "acc" else -1.0
+    key = "val_acc" if metric == "acc" else "val_loss"
+    best_fold, best_score = folds[0], -float("inf")
     for fold in folds:
-        meta = load_metadata(best_path(save_dir, fold))
-        acc = float(meta.get("val_acc", -1.0))
-        if acc > best_acc:
-            best_fold, best_acc = fold, acc
-    return best_fold, best_acc
+        meta = load_metadata(best_path(save_dir, fold, metric))
+        if key not in meta:
+            continue
+        score = sign * float(meta[key])
+        if score > best_score:
+            best_fold, best_score = fold, score
+    return best_fold, sign * best_score
 
 
 # --------------------------------------------------------------- full state

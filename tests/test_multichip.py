@@ -81,6 +81,83 @@ def test_full_step_dp_tp(dp_tp_setup):
     assert fc1.sharding.spec == jax.sharding.PartitionSpec(None, "model")
 
 
+def _full_aug_cfg(**kw):
+    """Every augmentation stage forced ON (probability 1.0) — guards the
+    class of SPMD miscompile already found once in this repo (vmapped
+    strided conv, models/convnext.py:165-176): the geometry warp's
+    dot_generals, distortion maps, blur convs, color/HSV selects, randaug,
+    erase, and the cross-sample mixup/cutmix gather all under a sharded
+    batch dim."""
+    base = dict(
+        model_name="convnext_femto",
+        num_classes=8,
+        native_size=(24, 32),
+        image_size=(32, 32),
+        batch_size=8,
+        gradient_accumulation_steps=1,
+        use_deep_supervision=False,
+        use_ema=False,
+        compute_dtype="float32",
+        hflip_prob=1.0, vflip_prob=1.0, ssr_prob=1.0,
+        noise_blur_prob=1.0, distortion_prob=1.0,
+        color_jitter_prob=1.0, color_shift_prob=1.0,
+        random_erasing_prob=1.0,
+        use_randaugment=True, randaugment_prob=1.0,
+        mixup_alpha=0.2, cutmix_alpha=1.0, mix_prob=1.0,
+    )
+    base.update(kw)
+    return Config(**base).validate()
+
+
+def test_full_aug_chain_dp_matches_single_device():
+    """The FULL augmentation chain (every stage p=1.0) must produce the same
+    images dp-sharded as on one device, and a train step with in-batch
+    mixup/cutmix (a cross-shard gather) must match too."""
+    from image_classification_tpu.aug.pipeline import aug_configs_from, train_augment
+    from image_classification_tpu.parallel.mesh import batch_sharding
+
+    cfg = _full_aug_cfg()
+    mesh = build_mesh(MeshSpec(data=8, model=1))
+    aug = aug_configs_from(cfg)
+    rng = np.random.default_rng(7)
+    images_np = rng.integers(0, 256, (cfg.batch_size, *cfg.native_size, 3)).astype(
+        np.uint8
+    )
+    key = jax.random.key(11)
+
+    run = jax.jit(lambda imgs: train_augment(imgs, key, aug))
+    plain = np.asarray(run(images_np), np.float32)
+
+    b_shard = batch_sharding(mesh)
+    sharded_in = jax.device_put(images_np, b_shard)
+    sharded = np.asarray(run(sharded_in), np.float32)
+    np.testing.assert_allclose(plain, sharded, atol=2e-3, rtol=1e-3)
+
+    # full train step (adds the in-batch mix's cross-shard permutation
+    # gather and the model under dp sharding)
+    bundle = create_model(cfg)
+    tx = build_optimizer(cfg, cfg.lr)
+    state = create_train_state(bundle.init(jax.random.key(0)), tx, use_ema=False)
+    step_plain = jax.jit(make_train_step(bundle, cfg, tx, build_criterion(cfg)))
+    batch_np = {
+        "image": images_np,
+        "label": rng.integers(0, 8, cfg.batch_size).astype(np.int32),
+    }
+    s1, m1 = step_plain(state, batch_np, jax.random.key(2))
+
+    s_shard = state_shardings(state, mesh)
+    step_sh = jax.jit(
+        make_train_step(bundle, cfg, tx, build_criterion(cfg)),
+        out_shardings=(s_shard, None),
+    )
+    batch_sh = {k: jax.device_put(v, b_shard) for k, v in batch_np.items()}
+    s2, m2 = step_sh(jax.device_put(state, s_shard), batch_sh, jax.random.key(2))
+    assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-4)
+    a = np.asarray(s1.params["stage0_block0"]["mlp_fc1"]["kernel"])
+    b = np.asarray(s2.params["stage0_block0"]["mlp_fc1"]["kernel"])
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
 def test_dp_matches_single_device(dp_tp_setup):
     """The sharded step must compute the same update as an unsharded one."""
     mesh, cfg, bundle, tx, state = dp_tp_setup
