@@ -15,10 +15,15 @@ step keys, and per-fold loader orders are the same ones ``train_k_fold`` +
 reassociation) whether trained sequentially or fold-parallel
 (tests/test_foldpar.py asserts this).
 
-v1 limitations (explicit errors): no progressive resizing, no SWA, no
-plateau schedule, no resume. Weighted/focal class counts use the full
-manifest's distribution (per-fold train counts differ from it by at most
-one image per class under stratification).
+Resume is supported: the stacked TrainState checkpoints to ONE
+``train_state_foldpar`` directory (all folds in one tree, epoch-aligned by
+construction) on the ``save_state_every`` cadence, with the per-fold host
+bookkeeping (best acc/loss, patience) in the metadata sidecar.
+
+Remaining v1 limitations (explicit errors): no progressive resizing, no
+SWA, no plateau schedule. Weighted/focal class counts use the cross-fold
+max of the per-fold distributions (they differ by at most one image per
+class under stratification).
 """
 
 from __future__ import annotations
@@ -94,12 +99,16 @@ def init_fold_states(cfg, bundle, mesh, n_folds: int):
     return stacked_vars
 
 
+FOLDPAR_CKPT = "par"  # resume_path(output_dir, "par") -> train_state_foldpar
+
+
 def train_k_fold_parallel(
     cfg,
     splits,
     make_loaders,
     mesh,
     model_name: str | None = None,
+    resume: bool = False,
 ) -> list[FoldResult]:
     """Train every fold of ``splits`` simultaneously over ``mesh``'s fold
     axis.
@@ -170,11 +179,46 @@ def train_k_fold_parallel(
     )
 
     best_val_acc = [-1.0] * n_folds
+    best_val_loss = [float("inf")] * n_folds
     best_variables: list[dict] = [{} for _ in range(n_folds)]
     patience = [0] * n_folds
     histories: list[list[dict]] = [[] for _ in range(n_folds)]
 
-    for epoch in range(cfg.epochs):
+    start_epoch = 0
+    if resume:
+        restored = ckpt.load_train_state(cfg.output_dir, FOLDPAR_CKPT, state)
+        if restored is not None:
+            host_state_np, start_epoch, resumed_host = restored
+            state = jax.device_put(host_state_np, s_shard)
+            best_val_acc = list(resumed_host.get("best_val_acc", best_val_acc))
+            best_val_loss = [
+                float(x) for x in resumed_host.get("best_val_loss", best_val_loss)
+            ]
+            patience = list(resumed_host.get("patience", patience))
+            logger.info("fold-parallel: resumed at epoch %d", start_epoch)
+            # reload on-disk best checkpoints so FoldResult carries them even
+            # if no post-resume epoch improves
+            for k in range(n_folds):
+                if best_val_acc[k] <= -1.0:
+                    continue
+                template = {
+                    "params": jax.tree.map(lambda a: np.asarray(a[k]), state.params)
+                }
+                if state.batch_stats is not None:
+                    template["batch_stats"] = jax.tree.map(
+                        lambda a: np.asarray(a[k]), state.batch_stats
+                    )
+                try:
+                    best_variables[k], _ = ckpt.load_best(
+                        cfg.model_save_path, k + 1, template
+                    )
+                except Exception:
+                    logger.warning(
+                        "fold %d: could not reload best checkpoint", k + 1
+                    )
+
+    writer = ckpt.AsyncCheckpointWriter()
+    for epoch in range(start_epoch, cfg.epochs):
         for t in train_loaders:
             t.set_epoch(epoch)
         timer = StepTimer()
@@ -224,7 +268,6 @@ def train_k_fold_parallel(
         acc_sums = jax.tree.map(np.asarray, acc_sums)
 
         stop = True
-        eval_params_host = None
         for k in range(n_folds):
             cm = acc_sums["confusion"][k]
             count = max(float(acc_sums["count"][k]), 1.0)
@@ -248,33 +291,80 @@ def train_k_fold_parallel(
                 record["train_acc"], record["val_loss"], record["val_acc"],
                 record["val_macro_f1"],
             )
-            if record["val_acc"] > best_val_acc[k]:
+            improved_acc = record["val_acc"] > best_val_acc[k]
+            improved_loss = (
+                cfg.save_best_loss and record["val_loss"] < best_val_loss[k]
+            )
+            if improved_acc:
                 best_val_acc[k] = record["val_acc"]
-                if eval_params_host is None:
-                    # eval_params just selects the EMA tree; stacked arrays
-                    # pass through unchanged, so no vmap is needed
-                    ep = state.eval_params(use_ema=cfg.use_ema)
-                    eval_params_host = jax.tree.map(np.asarray, ep)
-                fold_params = jax.tree.map(lambda a: a[k], eval_params_host)
-                bv = {"params": fold_params}
-                if state.batch_stats is not None:
-                    bv["batch_stats"] = jax.tree.map(
-                        lambda a: np.asarray(a[k]), state.batch_stats
-                    )
-                best_variables[k] = bv
                 patience[k] = 0
-                ckpt.save_best(
-                    cfg.model_save_path, k + 1, bv["params"],
-                    bv.get("batch_stats"), best_val_acc[k],
-                )
             else:
                 patience[k] += 1
+            if improved_loss:
+                best_val_loss[k] = record["val_loss"]
+            if improved_acc or improved_loss:
+                # Pull ONLY the improved fold's slice. ``a[k]`` slices on
+                # device into fresh buffers (safe from the train step's
+                # donation), so the slow device->host pull can ride the
+                # background writer. eval_params just selects the EMA tree;
+                # stacked arrays pass through unchanged, so no vmap needed.
+                ep = state.eval_params(use_ema=cfg.use_ema)
+                snap = {"params": jax.tree.map(lambda a: a[k], ep)}
+                if state.batch_stats is not None:
+                    snap["batch_stats"] = jax.tree.map(
+                        lambda a: a[k], state.batch_stats
+                    )
+
+                def _best_job(snap=snap, k=k, acc=record["val_acc"],
+                              loss=record["val_loss"], ia=improved_acc,
+                              il=improved_loss):
+                    host = jax.tree.map(np.asarray, snap)
+                    if ia:
+                        ckpt.save_best(
+                            cfg.model_save_path, k + 1, host["params"],
+                            host.get("batch_stats"), acc, val_loss=loss,
+                        )
+                        best_variables[k] = host
+                    if il:
+                        ckpt.save_best(
+                            cfg.model_save_path, k + 1, host["params"],
+                            host.get("batch_stats"), acc, val_loss=loss,
+                            metric="loss",
+                        )
+
+                if cfg.async_checkpoint:
+                    writer.submit(_best_job)
+                else:
+                    _best_job()
             if patience[k] < cfg.patience:
                 stop = False
         logger.info(
             "fold-parallel epoch %d: %.1f img/s (all folds), duty %.1f%%",
             epoch + 1, perf["images_per_sec"], 100 * perf["duty_cycle"],
         )
+        # Stacked-state resume checkpoint, same cadence as train_fold
+        if cfg.save_state_every > 0 and (
+            (epoch + 1 - start_epoch) % cfg.save_state_every == 0
+            or epoch == cfg.epochs - 1
+            or stop
+        ):
+            host_meta = {
+                "best_val_acc": best_val_acc,
+                "best_val_loss": best_val_loss,
+                "patience": patience,
+            }
+            if cfg.async_checkpoint:
+                writer.submit(
+                    ckpt.save_train_state,
+                    cfg.output_dir, FOLDPAR_CKPT,
+                    ckpt.snapshot_device_tree(state), epoch, cfg,
+                    host_state=host_meta,
+                )
+            else:
+                ckpt.save_train_state(
+                    cfg.output_dir, FOLDPAR_CKPT, state, epoch, cfg,
+                    host_state=host_meta,
+                )
         if stop:
             logger.info(
                 "fold-parallel: all folds exceeded patience; stopping at "
@@ -282,6 +372,8 @@ def train_k_fold_parallel(
             )
             break
 
+    # all pending best-param pulls / state writes must land before results
+    writer.join()
     results = []
     for k in range(n_folds):
         if not best_variables[k]:

@@ -113,6 +113,46 @@ def test_fold_parallel_matches_sequential(dataset):
     assert not np.allclose(a, b)
 
 
+def test_fold_parallel_resume_exact_continuation(dataset):
+    """2 epochs + resume + 2 must reproduce a straight 4-epoch fold-parallel
+    run exactly (stacked TrainState + per-fold host bookkeeping are
+    checkpointed to ``train_state_foldpar``)."""
+    from image_classification_tpu.train.kfold import train_k_fold
+
+    root = dataset
+    mesh = build_mesh(MeshSpec(data=2, model=2, fold=2))
+
+    # schedule="none": the warmup-cosine horizon is sized by cfg.epochs, so a
+    # 2-epoch first leg would train under a different LR curve than the
+    # straight 4-epoch run — constant LR isolates the resume machinery.
+    straight_cfg = _cfg(
+        root, fold_parallel=True, epochs=4, schedule="none",
+        output_dir=f"{root}/out_straight", model_save_path=f"{root}/models_straight",
+    )
+    straight = train_k_fold(straight_cfg, mesh=mesh)
+
+    cfg1 = _cfg(
+        root, fold_parallel=True, epochs=2, schedule="none",
+        output_dir=f"{root}/out_res", model_save_path=f"{root}/models_res",
+    )
+    train_k_fold(cfg1, mesh=mesh)
+    import os
+
+    assert os.path.exists(os.path.join(cfg1.output_dir, "train_state_foldpar"))
+    cfg2 = cfg1.replace(epochs=4)
+    resumed = train_k_fold(cfg2, mesh=mesh, resume=True)
+
+    for s, r in zip(straight, resumed):
+        assert [h["epoch"] for h in r.history] == [2, 3]
+        tail = s.history[2:]
+        for a, b in zip(tail, r.history):
+            for key in ("train_loss", "train_acc", "val_loss", "val_acc"):
+                assert a[key] == pytest.approx(b[key], rel=1e-5, abs=1e-6), (
+                    f"fold {s.fold} epoch {a['epoch']} {key}"
+                )
+        assert r.best_val_acc == pytest.approx(s.best_val_acc, abs=1e-6)
+
+
 def test_fold_parallel_rejects_unsupported(dataset):
     from image_classification_tpu.train.foldpar import train_k_fold_parallel
 
