@@ -138,6 +138,11 @@ class Config:
     # per-block (tokens, 4C) residual traffic); "full" = recompute whole
     # blocks (max activation-memory savings for large-image fine-tuning).
     block_remat: str = "none"
+    # ConvNeXt block tail (LN+fc1+GELU+fc2+gamma+residual): "xla" composes
+    # flax ops; "pallas" runs the fused whole-tail kernel with VMEM-resident
+    # intermediates and a dots-remat custom VJP (ops/block_mlp.py;
+    # single-chip fast path — auto-falls back per block when unsupported).
+    block_mlp_impl: str = "xla"
     # Single-pass fused clip+AdamW+EMA inside the jitted step
     # (train/fused.py): same math as the optax chain, one tree traversal.
     # Auto-falls back to the generic optax path for plateau/freeze modes.
@@ -286,6 +291,8 @@ class Config:
             raise ValueError(f"unknown schedule {self.schedule!r}")
         if self.dwconv_impl not in ("conv", "shift", "pallas"):
             raise ValueError(f"unknown dwconv_impl {self.dwconv_impl!r}")
+        if self.block_mlp_impl not in ("xla", "pallas"):
+            raise ValueError(f"unknown block_mlp_impl {self.block_mlp_impl!r}")
         if self.block_remat not in ("none", "dots", "full"):
             raise ValueError(f"unknown block_remat {self.block_remat!r}")
         if self.hbm_cache not in ("auto", "on", "off"):

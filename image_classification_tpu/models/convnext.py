@@ -56,6 +56,34 @@ def _pin_row_major(x: jnp.ndarray) -> jnp.ndarray:
     return with_layout_constraint(x, Layout(tuple(range(x.ndim))))
 
 
+class _AffineParams(nn.Module):
+    """Parameter holder with nn.LayerNorm's exact param tree (scale, bias) —
+    lets the fused Pallas block consume LN params while staying checkpoint-
+    compatible with the flax path."""
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return scale, bias
+
+
+class _DenseParams(nn.Module):
+    """Parameter holder with nn.Dense's exact param tree (kernel, bias)."""
+    features_in: int
+    features_out: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.features_in, self.features_out),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features_out,))
+        return kernel, bias
+
+
 class ConvNeXtBlock(nn.Module):
     dim: int
     drop_path: float = 0.0
@@ -65,6 +93,7 @@ class ConvNeXtBlock(nn.Module):
     dwconv_impl: str = "conv"   # "conv" (lax.conv) | "shift" (see ShiftDWConv)
     mlp_2d: bool = False        # flatten (B,H,W,C)->(BHW,C) around LN+MLP
     pin_layout: bool = False    # force row-major around the dwconv
+    block_mlp_impl: str = "xla"  # "xla" | "pallas" (ops/block_mlp.py)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
@@ -87,6 +116,36 @@ class ConvNeXtBlock(nn.Module):
             x = _pin_row_major(x)
         x = checkpoint_name(x, "dwconv_out")
         shape4 = x.shape
+
+        # Fused Pallas block tail: LN->fc1->GELU(erf)->fc2->gamma->residual
+        # in one kernel, VMEM-resident intermediates, dots-remat backward
+        # (ops/block_mlp.py). Falls back to the flax path for drop_path>0,
+        # tanh GELU, or channel widths whose weights don't fit VMEM.
+        from image_classification_tpu.ops.block_mlp import block_mlp_available
+
+        if (
+            self.block_mlp_impl == "pallas"
+            and self.drop_path == 0.0
+            and not self.gelu_approximate
+            and block_mlp_available(self.dim)
+        ):
+            from image_classification_tpu.ops.block_mlp import block_mlp
+
+            from image_classification_tpu.ops.block_mlp import interpret_forced
+
+            s, t = _AffineParams(self.dim, name="norm")()
+            w1, b1 = _DenseParams(self.dim, 4 * self.dim, name="mlp_fc1")()
+            w2, b2 = _DenseParams(4 * self.dim, self.dim, name="mlp_fc2")()
+            gamma = self.param(
+                "gamma", nn.initializers.constant(self.layer_scale_init),
+                (self.dim,),
+            )
+            x2 = x.reshape(-1, shape4[-1])
+            res2 = shortcut.reshape(-1, shape4[-1])
+            out = block_mlp(x2, res2, s, t, w1, b1, w2, b2, gamma,
+                            1e-6, 256, interpret_forced())
+            return out.reshape(shape4)
+
         if self.mlp_2d:
             # XLA assigns channel-major layouts ({3,0,2,1}) to small-H/W
             # stage activations around the depthwise conv, which decomposes
@@ -120,6 +179,7 @@ class ConvNeXt(nn.Module):
     mlp_2d: bool = False
     pin_layout: bool = False
     block_remat: str = "none"  # "none" | "dots" | "full"
+    block_mlp_impl: str = "xla"  # "xla" | "pallas" (ops/block_mlp.py)
 
     def _block_cls(self):
         """ConvNeXtBlock, optionally remat-wrapped.
@@ -185,6 +245,7 @@ class ConvNeXt(nn.Module):
                     gelu_approximate=self.gelu_approximate,
                     dwconv_impl=self.dwconv_impl, mlp_2d=self.mlp_2d,
                     pin_layout=self.pin_layout,
+                    block_mlp_impl=self.block_mlp_impl,
                     name=f"stage{i}_block{j}",
                 )(x, deterministic)
             if i > 0:

@@ -95,6 +95,7 @@ def create_model(cfg, model_name: str | None = None) -> ModelBundle:
             name, cfg.num_classes, gelu_approximate=cfg.gelu_approximate,
             dwconv_impl=cfg.dwconv_impl, mlp_2d=cfg.mlp_2d,
             pin_layout=cfg.pin_layout, block_remat=cfg.block_remat,
+            block_mlp_impl=cfg.block_mlp_impl,
             **kwargs,
         )
     elif family == "efficientnet":
