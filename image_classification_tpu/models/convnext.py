@@ -140,10 +140,13 @@ class ConvNeXtBlock(nn.Module):
                 "gamma", nn.initializers.constant(self.layer_scale_init),
                 (self.dim,),
             )
+            import os as _os
+
+            tm = int(_os.environ.get("IC_TPU_BLOCKMLP_TM", "256"))
             x2 = x.reshape(-1, shape4[-1])
             res2 = shortcut.reshape(-1, shape4[-1])
             out = block_mlp(x2, res2, s, t, w1, b1, w2, b2, gamma,
-                            1e-6, 256, interpret_forced())
+                            1e-6, tm, interpret_forced())
             return out.reshape(shape4)
 
         if self.mlp_2d:

@@ -15,6 +15,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     epochs, folds, n_train = 1, 2, 35551
+    preset = None  # optional JSON preset (e.g. configs/v1_effb0.json)
     overrides: dict = {}
     for a in sys.argv[1:]:
         k, v = a.split("=")
@@ -24,10 +25,13 @@ def main() -> None:
             folds = int(v)
         elif k == "n_train":
             n_train = int(v)
+        elif k == "config":
+            preset = v
         else:  # generic Config override, e.g. gradient_accumulation_steps=1
-            overrides[k] = {"true": True, "false": False}.get(
-                v.lower(), int(v) if v.lstrip("-").isdigit() else v
-            )
+            try:
+                overrides[k] = json.loads(v)
+            except json.JSONDecodeError:
+                overrides[k] = v
 
     from image_classification_tpu.core.cache import enable_compilation_cache
 
@@ -50,20 +54,27 @@ def main() -> None:
         open(marker, "w").write("ok")
     print(f"dataset ready in {time.time()-t0:.1f}s")
 
-    cfg = Config(
-        train_dir=os.path.join(root, "train"),
-        test_dir=os.path.join(root, "test"),
-        train_csv=os.path.join(root, "train.csv"),
-        test_csv=os.path.join(root, "sample_submission.csv"),
-        submission_path=os.path.join(root, "submission.csv"),
-        model_name="convnext_base",
-        epochs=epochs,
-        num_folds=folds,
-        model_save_path=os.path.join(root, "models"),
-        output_dir=os.path.join(root, "out"),
-        cache_dir=os.path.join(root, ".cache"),
+    base: dict = {}
+    if preset is not None:
+        with open(preset) as f:
+            base = {k: v for k, v in json.load(f).items()
+                    if not k.startswith("_")}
+    cfg = Config.from_dict({
+        **Config().to_dict(),
+        "model_name": "convnext_base",
+        **base,
+        "train_dir": os.path.join(root, "train"),
+        "test_dir": os.path.join(root, "test"),
+        "train_csv": os.path.join(root, "train.csv"),
+        "test_csv": os.path.join(root, "sample_submission.csv"),
+        "submission_path": os.path.join(root, "submission.csv"),
+        "epochs": epochs,
+        "num_folds": folds,
+        "model_save_path": os.path.join(root, "models"),
+        "output_dir": os.path.join(root, "out"),
+        "cache_dir": os.path.join(root, ".cache"),
         **overrides,
-    ).validate()
+    }).validate()
     setup_logging()
     results = train_k_fold(cfg)
     for r in results:
