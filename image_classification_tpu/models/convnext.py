@@ -129,9 +129,11 @@ class ConvNeXtBlock(nn.Module):
             and not self.gelu_approximate
             and block_mlp_available(self.dim)
         ):
-            from image_classification_tpu.ops.block_mlp import block_mlp
-
-            from image_classification_tpu.ops.block_mlp import interpret_forced
+            from image_classification_tpu.ops.block_mlp import (
+                block_mlp,
+                interpret_forced,
+                pick_tm,
+            )
 
             s, t = _AffineParams(self.dim, name="norm")()
             w1, b1 = _DenseParams(self.dim, 4 * self.dim, name="mlp_fc1")()
@@ -140,13 +142,10 @@ class ConvNeXtBlock(nn.Module):
                 "gamma", nn.initializers.constant(self.layer_scale_init),
                 (self.dim,),
             )
-            import os as _os
-
-            tm = int(_os.environ.get("IC_TPU_BLOCKMLP_TM", "256"))
             x2 = x.reshape(-1, shape4[-1])
             res2 = shortcut.reshape(-1, shape4[-1])
             out = block_mlp(x2, res2, s, t, w1, b1, w2, b2, gamma,
-                            1e-6, tm, interpret_forced())
+                            1e-6, pick_tm(x2.shape[0]), interpret_forced())
             return out.reshape(shape4)
 
         if self.mlp_2d:

@@ -9,10 +9,14 @@ This kernel runs the whole tail per (TM, C) row tile inside VMEM: one pass
 over x computes f32 stats, normalizes, runs both matmuls on the MXU with the
 (TM, 4C) intermediate never leaving VMEM, and writes only the block output.
 
-The backward kernel recomputes the cheap intermediates (normalize, fc1,
-GELU) from the saved inputs — the "dots" remat strategy baked into the
-kernel — and accumulates the weight/affine gradients in f32 VMEM across the
-sequential TPU grid, so no (M, 4C) residual is ever materialized in HBM.
+The forward kernel additionally stores the two cheap-to-keep intermediates
+``a`` (pre-GELU fc1 output, bf16) and ``u`` (fc2 output, bf16) so the
+backward runs exactly the four gradient matmuls (dh, dxhat, dw1, dw2) with
+no fc1/fc2 recompute — measured r3: the recompute variant spent 6 matmuls
+per tile and the stage-2 backward alone was 20.8 ms/step. LayerNorm
+normalization is recomputed from x on the VPU (stats are two row reduces).
+Weight/affine gradients accumulate in f32 VMEM across the sequential grid,
+so no f32 (M, 4C) residual is ever materialized in HBM.
 
 Semantics match `models/convnext.py:ConvNeXtBlock` (post-dwconv part) with
 exact erf GELU; reference anchor: timm ConvNeXt block MLP
@@ -69,7 +73,7 @@ def _norm_stats(xf: jnp.ndarray, eps: float):
 
 
 def _fwd_kernel(x_ref, res_ref, s_ref, t_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                g_ref, out_ref, *, eps: float):
+                g_ref, out_ref, *extra_refs, eps: float):
     xf = x_ref[:].astype(jnp.float32)
     mu, r = _norm_stats(xf, eps)
     z = (xf - mu) * r
@@ -89,32 +93,29 @@ def _fwd_kernel(x_ref, res_ref, s_ref, t_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     # operand from x (the dwconv output feeding the LN)
     out = res_ref[:].astype(jnp.float32) + g_ref[:].astype(jnp.float32) * u
     out_ref[:] = out.astype(out_ref.dtype)
+    if extra_refs:  # bf16 residuals for the 4-matmul backward (only stored
+        a_ref, u_ref = extra_refs  # under grad; the primal skips the writes)
+        a_ref[:] = a.astype(a_ref.dtype)
+        u_ref[:] = u.astype(u_ref.dtype)
 
 
-def _bwd_kernel(x_ref, s_ref, t_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref,
-                dy_ref,
+def _bwd_kernel(x_ref, a_ref, u_ref, s_ref, t_ref, w1_ref, b1_ref, w2_ref,
+                b2_ref, g_ref, dy_ref,
                 dx_ref, ds_ref, dt_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
                 dg_ref, *, eps: float):
     i = pl.program_id(0)
     f32 = jnp.float32
     dtype = x_ref.dtype
-    # ---- recompute the forward intermediates for this tile (dots remat)
+    # ---- VPU-only recompute: LN normalization from x; gelu(a) from the
+    # saved pre-activation. No forward matmul is re-run.
     xf = x_ref[:].astype(f32)
     mu, r = _norm_stats(xf, eps)
     z = (xf - mu) * r
     s = s_ref[:].astype(f32)
     xhat_bf = (z * s + t_ref[:].astype(f32)).astype(dtype)
-    a = jax.lax.dot_general(
-        xhat_bf, w1_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=f32,
-    ) + b1_ref[:].astype(f32)
+    a = a_ref[:].astype(f32)
     h_bf = _gelu_exact(a).astype(dtype)
-    u = jax.lax.dot_general(
-        h_bf, w2_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=f32,
-    ) + b2_ref[:].astype(f32)
+    u = u_ref[:].astype(f32)
 
     # ---- gradient chain
     dy = dy_ref[:].astype(f32)
@@ -179,6 +180,27 @@ def _bwd_kernel(x_ref, s_ref, t_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref,
         dg_ref[:] += dg_c
 
 
+def pick_tm(m: int, target: int = 512, cap: int = 768) -> int:
+    """Largest-leverage row-tile: a divisor of ``m`` (multiple of the 8
+    sublanes, <= cap) nearest ``target`` in log-space, so the grid covers m
+    EXACTLY — no pad/slice HBM copies, no padded-row flops. ConvNeXt-B @260,
+    batch 32: m in {135200, 34848, 9248, 2592} -> tm {520, 352, 544, 432}.
+    Falls back to ``target`` (with padding) when m has no 8-multiple divisor.
+    Env override: IC_TPU_BLOCKMLP_TM."""
+    override = os.environ.get("IC_TPU_BLOCKMLP_TM")
+    if override:
+        return int(override)
+    import math
+
+    best = None
+    for d in range(8, min(m, cap) + 1, 8):
+        if m % d == 0:
+            score = abs(math.log(d / target))
+            if best is None or score < best[0]:
+                best = (score, d)
+    return best[1] if best else target
+
+
 def _pad_rows(x: jnp.ndarray, tm: int) -> tuple[jnp.ndarray, int]:
     m = x.shape[0]
     mp = -(-m // tm) * tm
@@ -204,11 +226,13 @@ def block_mlp(x, res, s, t, w1, b1, w2, b2, g, eps=1e-6, tm=256,
     input. bf16/f32 (M, C); params in any float dtype (cast to x.dtype for
     the MXU, f32 for stats/affine, like the flax path). Returns x.dtype.
     """
-    return _block_mlp_fwd(x, res, s, t, w1, b1, w2, b2, g, eps, tm,
-                          interpret)[0]
+    out = _run_fwd(x, res, s, t, w1, b1, w2, b2, g, eps, tm, interpret,
+                   save_residuals=False)[0]
+    return out[: x.shape[0]]
 
 
-def _block_mlp_fwd(x, res, s, t, w1, b1, w2, b2, g, eps, tm, interpret):
+def _run_fwd(x, res, s, t, w1, b1, w2, b2, g, eps, tm, interpret,
+             save_residuals):
     m, c = x.shape
     h4 = w1.shape[1]
     xp, mp = _pad_rows(x, tm)
@@ -216,7 +240,18 @@ def _block_mlp_fwd(x, res, s, t, w1, b1, w2, b2, g, eps, tm, interpret):
     grid = (mp // tm,)
     dtype = x.dtype
     row = lambda v: v.reshape(1, -1).astype(dtype)
-    out = pl.pallas_call(
+    out_specs = [pl.BlockSpec((tm, c), lambda i: (i, 0))]       # y
+    out_shape = [jax.ShapeDtypeStruct((mp, c), dtype)]
+    if save_residuals:
+        out_specs += [
+            pl.BlockSpec((tm, h4), lambda i: (i, 0)),           # a
+            pl.BlockSpec((tm, c), lambda i: (i, 0)),            # u
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct((mp, h4), dtype),
+            jax.ShapeDtypeStruct((mp, c), dtype),
+        ]
+    outs = pl.pallas_call(
         functools.partial(_fwd_kernel, eps=eps),
         grid=grid,
         in_specs=[
@@ -229,17 +264,27 @@ def _block_mlp_fwd(x, res, s, t, w1, b1, w2, b2, g, eps, tm, interpret):
             pl.BlockSpec((1, c), lambda i: (0, 0)),             # b2
             pl.BlockSpec((1, c), lambda i: (0, 0)),             # g
         ],
-        out_specs=pl.BlockSpec((tm, c), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((mp, c), dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=_compiler_params(interpret),
         interpret=interpret,
     )(xp, resp, row(s), row(t), w1.astype(dtype), row(b1), w2.astype(dtype),
       row(b2), row(g))
-    return out[:m], (x, s, t, w1, b1, w2, b2, g)
+    return outs
+
+
+def _block_mlp_fwd(x, res, s, t, w1, b1, w2, b2, g, eps, tm, interpret):
+    out, a_saved, u_saved = _run_fwd(
+        x, res, s, t, w1, b1, w2, b2, g, eps, tm, interpret,
+        save_residuals=True,
+    )
+    m = x.shape[0]
+    # a/u are saved PADDED (the backward re-derives the same mp from tm)
+    return out[:m], (x, a_saved, u_saved, s, t, w1, b1, w2, b2, g)
 
 
 def _block_mlp_bwd(eps, tm, interpret, saved, dy):
-    x, s, t, w1, b1, w2, b2, g = saved
+    x, a_saved, u_saved, s, t, w1, b1, w2, b2, g = saved
     m, c = x.shape
     h4 = w1.shape[1]
     dtype = x.dtype
@@ -253,6 +298,8 @@ def _block_mlp_bwd(eps, tm, interpret, saved, dy):
         grid=grid,
         in_specs=[
             pl.BlockSpec((tm, c), lambda i: (i, 0)),            # x
+            pl.BlockSpec((tm, h4), lambda i: (i, 0)),           # a (padded)
+            pl.BlockSpec((tm, c), lambda i: (i, 0)),            # u (padded)
             *[pl.BlockSpec((1, c), lambda i: (0, 0))] * 2,      # s, t
             pl.BlockSpec((c, h4), lambda i: (0, 0)),            # w1
             pl.BlockSpec((1, h4), lambda i: (0, 0)),            # b1
@@ -283,8 +330,8 @@ def _block_mlp_bwd(eps, tm, interpret, saved, dy):
         ],
         compiler_params=_compiler_params(interpret),
         interpret=interpret,
-    )(xp, row(s), row(t), w1.astype(dtype), row(b1), w2.astype(dtype),
-      row(b2), row(g), dyp)
+    )(xp, a_saved, u_saved, row(s), row(t), w1.astype(dtype), row(b1),
+      w2.astype(dtype), row(b2), row(g), dyp)
     dx, ds, dt, dw1, db1, dw2, db2, dg = outs
     cast = lambda v, ref: v.reshape(ref.shape).astype(ref.dtype)
     # dres: the residual passes dy straight through (no kernel work needed)
