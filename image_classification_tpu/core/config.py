@@ -140,9 +140,12 @@ class Config:
     block_remat: str = "none"
     # ConvNeXt block tail (LN+fc1+GELU+fc2+gamma+residual): "xla" composes
     # flax ops; "pallas" runs the fused whole-tail kernel with VMEM-resident
-    # intermediates and a dots-remat custom VJP (ops/block_mlp.py;
-    # single-chip fast path — auto-falls back per block when unsupported).
-    block_mlp_impl: str = "xla"
+    # intermediates and a custom VJP (ops/block_mlp.py). Default on: measured
+    # 384.6 -> 425.7 img/s on the V4 headline step (TPU v5e, round 3).
+    # Auto-falls back per block when unsupported (drop_path>0, tanh GELU,
+    # C>512, off-TPU) and is demoted to "xla" on multi-device meshes
+    # (pallas_call has no SPMD partitioning rule — models/factory.py).
+    block_mlp_impl: str = "pallas"
     # Single-pass fused clip+AdamW+EMA inside the jitted step
     # (train/fused.py): same math as the optax chain, one tree traversal.
     # Auto-falls back to the generic optax path for plateau/freeze modes.

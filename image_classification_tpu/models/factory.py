@@ -80,6 +80,13 @@ class ModelBundle:
         )
 
 
+def _multi_device(cfg) -> bool:
+    """True when the run targets a non-trivial device mesh (cfg.mesh_data of
+    -1 means "all devices" — resolve it against the live backend)."""
+    data = cfg.mesh_data if cfg.mesh_data > 0 else jax.device_count()
+    return data * cfg.mesh_model > 1
+
+
 def create_model(cfg, model_name: str | None = None) -> ModelBundle:
     """Build a model from the framework Config (or an explicit name, for
     multi-architecture ensembles — `previous/V2-convbase/config.py:46-51`)."""
@@ -91,11 +98,18 @@ def create_model(cfg, model_name: str | None = None) -> ModelBundle:
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     kwargs["dtype"] = dtype
     if family == "convnext":
+        block_mlp_impl = cfg.block_mlp_impl
+        if block_mlp_impl == "pallas" and _multi_device(cfg):
+            # pallas_call has no SPMD partitioning rule: under pjit over a
+            # non-trivial mesh XLA would all-gather the (BHW, C) activations
+            # to run the custom call replicated. The XLA formulation shards
+            # cleanly, so multi-device runs demote to it.
+            block_mlp_impl = "xla"
         backbone = build_convnext(
             name, cfg.num_classes, gelu_approximate=cfg.gelu_approximate,
             dwconv_impl=cfg.dwconv_impl, mlp_2d=cfg.mlp_2d,
             pin_layout=cfg.pin_layout, block_remat=cfg.block_remat,
-            block_mlp_impl=cfg.block_mlp_impl,
+            block_mlp_impl=block_mlp_impl,
             **kwargs,
         )
     elif family == "efficientnet":
