@@ -145,7 +145,8 @@ class ConvNeXtBlock(nn.Module):
             x2 = x.reshape(-1, shape4[-1])
             res2 = shortcut.reshape(-1, shape4[-1])
             out = block_mlp(x2, res2, s, t, w1, b1, w2, b2, gamma,
-                            1e-6, pick_tm(x2.shape[0]), interpret_forced())
+                            1e-6, pick_tm(x2.shape[0], c=self.dim),
+                            interpret_forced())
             return out.reshape(shape4)
 
         if self.mlp_2d:

@@ -180,16 +180,20 @@ def _bwd_kernel(x_ref, a_ref, u_ref, s_ref, t_ref, w1_ref, b1_ref, w2_ref,
         dg_ref[:] += dg_c
 
 
-def pick_tm(m: int, target: int = 512, cap: int = 768) -> int:
+def pick_tm(m: int, target: int = 512, cap: int = 768, c: int = 0) -> int:
     """Largest-leverage row-tile: a divisor of ``m`` (multiple of the 8
     sublanes, <= cap) nearest ``target`` in log-space, so the grid covers m
     EXACTLY — no pad/slice HBM copies, no padded-row flops. ConvNeXt-B @260,
-    batch 32: m in {135200, 34848, 9248, 2592} -> tm {520, 352, 544, 432}.
+    batch 32: m in {135200, 34848, 9248, 2592} -> tm {520, 528, 544, 288*}
+    (*stage 3 runs with the halved wide-C target).
     Falls back to ``target`` (with padding) when m has no 8-multiple divisor.
-    Env override: IC_TPU_BLOCKMLP_TM."""
+    For wide blocks (c > 512) the (TM, 4C) f32 temporaries dominate VMEM, so
+    the target/cap halve. Env override: IC_TPU_BLOCKMLP_TM."""
     override = os.environ.get("IC_TPU_BLOCKMLP_TM")
     if override:
         return int(override)
+    if c > 512:
+        target, cap = target // 2, cap // 2
     import math
 
     best = None
@@ -350,11 +354,12 @@ def interpret_forced() -> bool:
 
 def block_mlp_available(c: int) -> bool:
     """The kernel keeps both weight matrices + f32 grad accumulators in
-    VMEM; C<=512 (ConvNeXt stages 0-2) fits comfortably, C=1024 (stage 3,
-    only 3 blocks) does not."""
+    VMEM; C<=512 (ConvNeXt stages 0-2, 33/36 blocks) fits comfortably.
+    C=1024 (stage 3) budgets ~48 MB of weights+accumulators alone and is
+    gated behind IC_TPU_BLOCKMLP_MAXC=1024 pending an on-TPU win."""
     if os.environ.get("IC_TPU_NO_PALLAS"):
         return False
-    if c > 512:
+    if c > int(os.environ.get("IC_TPU_BLOCKMLP_MAXC", "512")):
         return False
     if interpret_forced():
         return True

@@ -96,6 +96,43 @@ def test_padding_rows_do_not_leak():
                                rtol=2e-5, atol=2e-5)
 
 
+def test_wide_c_forward_and_grads():
+    """C=1024 (ConvNeXt stage 3, IC_TPU_BLOCKMLP_MAXC=1024 gate): the kernel
+    math must hold at the wide width too (small M keeps interpret cheap)."""
+    args = make_inputs(64, 1024, jnp.float32, seed=6)
+    out = block_mlp(*args, EPS, 32, True)
+    ref = ref_block(*args)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    cot = jnp.asarray(
+        np.random.default_rng(7).normal(size=(64, 1024)).astype(np.float32)
+    )
+    gk = jax.grad(lambda *a: jnp.sum(block_mlp(*a, EPS, 32, True) * cot),
+                  argnums=(0, 4, 6))(*args)
+    gr = jax.grad(lambda *a: jnp.sum(ref_block(*a) * cot),
+                  argnums=(0, 4, 6))(*args)
+    for n, a, b in zip(["x", "w1", "w2"], gk, gr):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=3e-4, atol=3e-4,
+            err_msg=f"grad mismatch for {n}",
+        )
+
+
+def test_pick_tm():
+    from image_classification_tpu.ops.block_mlp import pick_tm
+
+    # exact divisors of the ConvNeXt-B @260 batch-32 row counts
+    assert pick_tm(135200) == 520 and 135200 % 520 == 0
+    assert pick_tm(34848) == 528 and 34848 % 528 == 0
+    assert pick_tm(9248) == 544
+    # wide-C halves the target/cap (VMEM pressure from (TM, 4C) temps)
+    tm_wide = pick_tm(2592, c=1024)
+    assert 2592 % tm_wide == 0 and tm_wide <= 384
+    # prime-ish m with no 8-multiple divisor falls back to the target
+    assert pick_tm(1006) == 512
+
+
 def test_model_integration_matches_xla_path(monkeypatch):
     """Full ConvNeXt with block_mlp_impl='pallas' (interpret mode) must match
     the flax path on identical params: same param tree, same forward, same
