@@ -21,9 +21,9 @@ construction) on the ``save_state_every`` cadence, with the per-fold host
 bookkeeping (best acc/loss, patience) in the metadata sidecar.
 
 Remaining v1 limitations (explicit errors): no progressive resizing, no
-SWA, no plateau schedule. Weighted/focal class counts use the cross-fold
-max of the per-fold distributions (they differ by at most one image per
-class under stratification).
+SWA, no plateau schedule. Weighted-loss class weights are EXACT per fold:
+the (K, num_classes) weight stack is a vmapped operand of the train step
+(a closure can't vary across vmap).
 """
 
 from __future__ import annotations
@@ -33,6 +33,8 @@ import logging
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import NamedSharding
+from jax.sharding import PartitionSpec as P
 
 from image_classification_tpu.core import prng
 from image_classification_tpu.models.factory import create_model, load_pretrained_into
@@ -141,16 +143,23 @@ def train_k_fold_parallel(
     schedule = build_lr_schedule(cfg, steps_per_epoch)
     tx = build_optimizer(cfg, schedule)
     criterion = build_criterion(cfg, class_counts=None)
-    if cfg.use_weighted_loss or cfg.use_focal_loss:
-        # per-fold train counts differ from the manifest's by <=1 per class
-        counts = np.zeros(cfg.num_classes, np.int64)
-        for t in train_loaders:
-            counts = np.maximum(
-                counts, np.bincount(
-                    t.manifest.labels[t.indices], minlength=cfg.num_classes
-                ),
-            )
-        criterion = build_criterion(cfg, class_counts=jnp.asarray(counts))
+    fold_weights = None
+    if cfg.use_weighted_loss:
+        # EXACT per-fold class weights: the criterion closure can't vary
+        # across vmap, so the (K, num_classes) weight stack rides the fold
+        # axis as a vmapped operand instead (reference semantics:
+        # `V3.1/train_advanced_v3.2.py:470-486` builds weights from each
+        # split's own train counts).
+        counts = np.stack([
+            np.bincount(
+                t.manifest.labels[t.indices], minlength=cfg.num_classes
+            ).astype(np.float32)
+            for t in train_loaders
+        ])
+        w = 1.0 / np.maximum(counts, 1.0)
+        fold_weights = jnp.asarray(
+            w / w.sum(axis=1, keepdims=True) * cfg.num_classes
+        )
 
     stacked_vars = init_fold_states(cfg, bundle, mesh, n_folds)
     state = jax.vmap(
@@ -166,11 +175,26 @@ def train_k_fold_parallel(
     state = jax.device_put(state, s_shard)
     b_shard = fold_batch_sharding(mesh)
 
-    train_step = jax.jit(
-        jax.vmap(make_train_step(bundle, cfg, tx, criterion)),
-        donate_argnums=(0,),
-        out_shardings=(s_shard, None),
-    )
+    if fold_weights is None:
+        train_step = jax.jit(
+            jax.vmap(make_train_step(bundle, cfg, tx, criterion)),
+            donate_argnums=(0,),
+            out_shardings=(s_shard, None),
+        )
+    else:
+        def _step_with_weights(fstate, batch, key, weights):
+            crit = build_criterion(cfg, class_weights=weights)
+            return make_train_step(bundle, cfg, tx, crit)(fstate, batch, key)
+
+        _jit_w = jax.jit(
+            jax.vmap(_step_with_weights),
+            donate_argnums=(0,),
+            out_shardings=(s_shard, None),
+        )
+        fold_weights = jax.device_put(
+            fold_weights, NamedSharding(mesh, P(FOLD_AXIS))
+        )
+        train_step = lambda s, b, k: _jit_w(s, b, k, fold_weights)
     eval_step = jax.jit(jax.vmap(make_eval_step(bundle, cfg)))
 
     root = prng.root_key(cfg.seed)

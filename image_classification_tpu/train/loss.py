@@ -112,15 +112,20 @@ def deep_supervision_loss(
     return total
 
 
-def build_criterion(cfg, class_counts: jnp.ndarray | None = None) -> Callable:
+def build_criterion(
+    cfg,
+    class_counts: jnp.ndarray | None = None,
+    class_weights: jnp.ndarray | None = None,
+) -> Callable:
     """Criterion factory mirroring `V3.1/train_advanced_v3.2.py:470-486`:
     weighted CE | focal | plain smoothed CE; deep-supervision aware.
 
     Returns ``loss_fn(outputs, targets)`` where outputs is a logits array or
     a tuple (deep supervision) and targets are int labels or soft labels.
+    ``class_weights`` overrides the counts->weights derivation — it may be a
+    TRACED array (fold-parallel threads per-fold weights through vmap).
     """
-    class_weights = None
-    if cfg.use_weighted_loss and class_counts is not None:
+    if class_weights is None and cfg.use_weighted_loss and class_counts is not None:
         w = 1.0 / jnp.maximum(class_counts.astype(jnp.float32), 1.0)
         class_weights = w / jnp.sum(w) * len(w)
 

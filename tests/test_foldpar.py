@@ -113,6 +113,32 @@ def test_fold_parallel_matches_sequential(dataset):
     assert not np.allclose(a, b)
 
 
+def test_fold_parallel_weighted_loss_matches_sequential(dataset):
+    """use_weighted_loss: each fold's class weights must come from ITS OWN
+    train-split counts (threaded through vmap as a (K, num_classes) operand),
+    reproducing the sequential per-fold trajectories."""
+    from image_classification_tpu.train.kfold import train_k_fold
+
+    root = dataset
+    kw = dict(use_weighted_loss=True, epochs=1)
+    seq = train_k_fold(_cfg(root, output_dir=f"{root}/out_wseq",
+                            model_save_path=f"{root}/models_wseq", **kw))
+    mesh = build_mesh(MeshSpec(data=2, model=2, fold=2))
+    par = train_k_fold(
+        _cfg(root, fold_parallel=True, output_dir=f"{root}/out_wpar",
+             model_save_path=f"{root}/models_wpar", **kw),
+        mesh=mesh,
+    )
+    for s, p in zip(seq, par):
+        for hs, hp in zip(s.history, p.history):
+            np.testing.assert_allclose(
+                hs["train_loss"], hp["train_loss"], rtol=0.02, atol=0.02
+            )
+            np.testing.assert_allclose(
+                hs["val_acc"], hp["val_acc"], rtol=0, atol=0.021
+            )
+
+
 def test_fold_parallel_resume_exact_continuation(dataset):
     """2 epochs + resume + 2 must reproduce a straight 4-epoch fold-parallel
     run exactly (stacked TrainState + per-fold host bookkeeping are
