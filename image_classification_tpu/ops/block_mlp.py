@@ -355,8 +355,11 @@ def interpret_forced() -> bool:
 def block_mlp_available(c: int) -> bool:
     """The kernel keeps both weight matrices + f32 grad accumulators in
     VMEM; C<=512 (ConvNeXt stages 0-2, 33/36 blocks) fits comfortably.
-    C=1024 (stage 3) budgets ~48 MB of weights+accumulators alone and is
-    gated behind IC_TPU_BLOCKMLP_MAXC=1024 pending an on-TPU win."""
+    C=1024 (stage 3) budgets ~48 MB of weights+accumulators alone and MEASURED
+    SLOWER on TPU (same-harness A/B 2026-08-20: MAXC=1024 419.5 img/s vs
+    default 426.1 — the halved row tile + grad-accumulator traffic lose to
+    XLA's stage-3 matmuls). The IC_TPU_BLOCKMLP_MAXC=1024 override remains
+    for re-measurement on future hardware."""
     if os.environ.get("IC_TPU_NO_PALLAS"):
         return False
     if c > int(os.environ.get("IC_TPU_BLOCKMLP_MAXC", "512")):
