@@ -150,6 +150,11 @@ class Config:
     # (train/fused.py): same math as the optax chain, one tree traversal.
     # Auto-falls back to the generic optax path for plateau/freeze modes.
     fused_update: bool = True
+    # ConvNeXt 2x2/2 stage-downsample lowering: "conv" = nn.Conv (XLA conv
+    # emitter, channel-major layout preference); "matmul" = W-fold reshape +
+    # H-phase interleave + one MXU matmul (models/layers.patch_conv P=2 path;
+    # bit-identical math, params unchanged). See docs/PERF_NOTES.md round 3.
+    downsample_impl: str = "conv"
     freeze_stages: int = 0              # reference `V3.1/...:399-403`
     ensemble_models: tuple[str, ...] = ()  # reference `previous/V2-convbase/config.py:46-51`
     ensemble_weights: tuple[float, ...] = ()
@@ -296,6 +301,10 @@ class Config:
             raise ValueError(f"unknown dwconv_impl {self.dwconv_impl!r}")
         if self.block_mlp_impl not in ("xla", "pallas"):
             raise ValueError(f"unknown block_mlp_impl {self.block_mlp_impl!r}")
+        if self.downsample_impl not in ("conv", "matmul"):
+            raise ValueError(
+                f"unknown downsample_impl {self.downsample_impl!r}"
+            )
         if self.block_remat not in ("none", "dots", "full"):
             raise ValueError(f"unknown block_remat {self.block_remat!r}")
         if self.hbm_cache not in ("auto", "on", "off"):

@@ -183,6 +183,7 @@ class ConvNeXt(nn.Module):
     pin_layout: bool = False
     block_remat: str = "none"  # "none" | "dots" | "full"
     block_mlp_impl: str = "xla"  # "xla" | "pallas" (ops/block_mlp.py)
+    downsample_impl: str = "conv"  # "conv" | "matmul" (layers.patch_conv P=2)
 
     def _block_cls(self):
         """ConvNeXtBlock, optionally remat-wrapped.
@@ -225,14 +226,18 @@ class ConvNeXt(nn.Module):
                 x = nn.LayerNorm(
                     epsilon=1e-6, dtype=self.dtype, name=f"downsample{i}_norm"
                 )(x)
-                if x.shape[1] == 2 and x.shape[2] == 2:
-                    # Degenerate 2x2 -> 1x1 downsample: the conv IS one
-                    # matmul; express it as one (PatchConv, identical
-                    # params). Also works around an XLA SPMD miscompile:
-                    # vmapped strided convs with size-1 spatial output
-                    # return wrong values when the mapped dim is sharded
-                    # (hits fold-parallel CPU tests at 32px inputs; GSPMD
-                    # and Shardy both affected, verified jax 0.9.0).
+                if (
+                    self.downsample_impl == "matmul"
+                    or (x.shape[1] == 2 and x.shape[2] == 2)
+                ):
+                    # W-fold + H-interleave + one MXU matmul (identical math
+                    # and params — layers.patch_conv P=2 path). Always used
+                    # for the degenerate 2x2 -> 1x1 downsample, which also
+                    # works around an XLA SPMD miscompile: vmapped strided
+                    # convs with size-1 spatial output return wrong values
+                    # when the mapped dim is sharded (hits fold-parallel CPU
+                    # tests at 32px inputs; GSPMD and Shardy both affected,
+                    # verified jax 0.9.0).
                     x = PatchConv(
                         dim, patch=2, dtype=self.dtype,
                         name=f"downsample{i}_conv",

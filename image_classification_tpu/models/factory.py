@@ -110,6 +110,7 @@ def create_model(cfg, model_name: str | None = None) -> ModelBundle:
             dwconv_impl=cfg.dwconv_impl, mlp_2d=cfg.mlp_2d,
             pin_layout=cfg.pin_layout, block_remat=cfg.block_remat,
             block_mlp_impl=block_mlp_impl,
+            downsample_impl=cfg.downsample_impl,
             **kwargs,
         )
     elif family == "efficientnet":

@@ -136,6 +136,29 @@ def patch_conv(
     """
     B, H, W, Cin = x.shape
     P = patch
+    if P == 2:
+        # 2x2/2 lowering without the 6D space-to-depth transpose (which XLA
+        # lowers badly — docs/PERF_NOTES.md round-1): fold the W pixel pairs
+        # into channels with a FREE reshape (W and C are memory-adjacent in
+        # row-major NHWC), interleave the two H phases with strided slices +
+        # concat, and run ONE (B*Ho*Wo, 4Cin) matmul on the MXU. Channel
+        # order after the fold is (i, j, c) == kernel.reshape(4Cin, -1), so
+        # the math is bit-identical to the conv. Odd H/W take the same
+        # right/bottom zero pad nn.Conv's SAME padding would apply
+        # (k=2, s=2 -> pad_total=1, all of it on the high side).
+        Hp, Wp = H + (H % 2), W + (W % 2)
+        if (Hp, Wp) != (H, W):
+            x = jnp.pad(x, ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0)))
+        xr = x.reshape(B, Hp, Wp // 2, 2 * Cin)
+        xcat = jnp.concatenate([xr[:, 0::2], xr[:, 1::2]], axis=-1)
+        w = kernel.reshape(4 * Cin, -1)
+        out = jax.lax.dot_general(
+            xcat.reshape(-1, 4 * Cin), w,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        out = out.reshape(B, Hp // 2, Wp // 2, -1)
+        return out if bias is None else out + bias.astype(out.dtype)
     if H % P or W % P:  # fall back for odd sizes
         out = jax.lax.conv_general_dilated(
             x, kernel, (P, P), "SAME",

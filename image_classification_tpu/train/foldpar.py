@@ -20,9 +20,14 @@ Resume is supported: the stacked TrainState checkpoints to ONE
 construction) on the ``save_state_every`` cadence, with the per-fold host
 bookkeeping (best acc/loss, patience) in the metadata sidecar.
 
-Remaining v1 limitations (explicit errors): no progressive resizing, no
-SWA, no plateau schedule. Weighted-loss class weights are EXACT per fold:
-the (K, num_classes) weight stack is a vmapped operand of the train step
+SWA is supported: ``swa_update`` vmaps over the stacked state, the BN
+refresh (`previous/V3-efb2/train_advanced_v3.0.py:505-507`) runs stacked
+over every fold's train loader, and the SWA candidate replaces a fold's
+best checkpoint only where it validates better — same semantics as the
+sequential path. Remaining limitations (explicit errors): no progressive
+resizing, no plateau schedule (their per-fold LR/shape divergence doesn't
+vmap). Weighted-loss class weights are EXACT per fold: the
+(K, num_classes) weight stack is a vmapped operand of the train step
 (a closure can't vary across vmap).
 """
 
@@ -45,8 +50,12 @@ from image_classification_tpu.train.loop import (
 )
 from image_classification_tpu.train.loss import build_criterion
 from image_classification_tpu.train.optim import build_optimizer
-from image_classification_tpu.train.step import make_eval_step, make_train_step
-from image_classification_tpu.train.train_state import create_train_state
+from image_classification_tpu.train.step import (
+    make_bn_update_step,
+    make_eval_step,
+    make_train_step,
+)
+from image_classification_tpu.train.train_state import create_train_state, swa_update
 from image_classification_tpu.utils import checkpoint as ckpt
 from image_classification_tpu.utils.metrics import macro_f1, per_class_f1
 from image_classification_tpu.utils.profiler import StepTimer
@@ -57,7 +66,6 @@ logger = logging.getLogger("ic_tpu")
 def _check_supported(cfg) -> None:
     for flag, name in (
         (cfg.progressive_resizing, "progressive_resizing"),
-        (cfg.use_swa, "use_swa"),
         (cfg.schedule == "plateau", "schedule='plateau'"),
     ):
         if flag:
@@ -73,6 +81,34 @@ def _zero_like_batch(batch: dict) -> dict:
     val loader is exhausted — masked eval sums make it contribute nothing."""
     out = {k: np.zeros_like(v) for k, v in batch.items()}
     return out
+
+
+def _stacked_validate(eval_step, state, val_loaders, b_shard):
+    """Run the stacked eval step over every fold's val loader, iterating to
+    the longest fold's batch count; exhausted folds contribute all-masked
+    zero batches. Returns the summed metric tree as numpy (leading K dim)."""
+    val_iters = [iter(v) for v in val_loaders]
+    acc_sums = None
+    exhausted_template: dict | None = None
+    while True:
+        cols = [next(it, None) for it in val_iters]
+        if all(c is None for c in cols):
+            break
+        live = next(c for c in cols if c is not None)
+        if exhausted_template is None:
+            exhausted_template = _zero_like_batch(
+                {k: live[k] for k in ("image", "label", "mask")}
+            )
+        cols = [
+            {k: c[k] for k in ("image", "label", "mask")}
+            if c is not None else exhausted_template
+            for c in cols
+        ]
+        stacked = _stack_batches(cols, ("image", "label", "mask"))
+        stacked = {k: jax.device_put(v, b_shard) for k, v in stacked.items()}
+        m = eval_step(state, stacked)
+        acc_sums = m if acc_sums is None else jax.tree.map(jnp.add, acc_sums, m)
+    return jax.tree.map(np.asarray, acc_sums)
 
 
 def init_fold_states(cfg, bundle, mesh, n_folds: int):
@@ -163,7 +199,9 @@ def train_k_fold_parallel(
 
     stacked_vars = init_fold_states(cfg, bundle, mesh, n_folds)
     state = jax.vmap(
-        lambda v: create_train_state(v, tx, use_ema=cfg.use_ema, use_swa=False)
+        lambda v: create_train_state(
+            v, tx, use_ema=cfg.use_ema, use_swa=cfg.use_swa
+        )
     )(jax.tree.map(jnp.asarray, stacked_vars))
     n_params = sum(x.size for x in jax.tree.leaves(state.params)) // n_folds
     logger.info(
@@ -196,6 +234,7 @@ def train_k_fold_parallel(
         )
         train_step = lambda s, b, k: _jit_w(s, b, k, fold_weights)
     eval_step = jax.jit(jax.vmap(make_eval_step(bundle, cfg)))
+    swa_step = jax.jit(jax.vmap(swa_update), out_shardings=s_shard)
 
     root = prng.root_key(cfg.seed)
     step_keys = jnp.stack(
@@ -266,30 +305,12 @@ def train_k_fold_parallel(
 
         # ---- stacked validation: iterate to the longest fold's batch count;
         # exhausted folds contribute all-masked zero batches.
-        val_iters = [iter(v) for v in val_loaders]
-        acc_sums = None
-        exhausted_template: dict | None = None
-        while True:
-            cols = [next(it, None) for it in val_iters]
-            if all(c is None for c in cols):
-                break
-            live = next(c for c in cols if c is not None)
-            if exhausted_template is None:
-                exhausted_template = _zero_like_batch(
-                    {k: live[k] for k in ("image", "label", "mask")}
-                )
-            cols = [
-                {k: c[k] for k in ("image", "label", "mask")}
-                if c is not None else exhausted_template
-                for c in cols
-            ]
-            stacked = _stack_batches(cols, ("image", "label", "mask"))
-            stacked = {k: jax.device_put(v, b_shard) for k, v in stacked.items()}
-            m = eval_step(state, stacked)
-            acc_sums = m if acc_sums is None else jax.tree.map(
-                jnp.add, acc_sums, m
-            )
-        acc_sums = jax.tree.map(np.asarray, acc_sums)
+        acc_sums = _stacked_validate(eval_step, state, val_loaders, b_shard)
+
+        # SWA snapshot AFTER validation, like the sequential loop
+        # (`train/loop.py`): the epoch's val metrics reflect pre-SWA weights.
+        if cfg.use_swa and (epoch + 1) >= cfg.swa_start_epoch:
+            state = swa_step(state)
 
         stop = True
         for k in range(n_folds):
@@ -397,7 +418,57 @@ def train_k_fold_parallel(
             break
 
     # all pending best-param pulls / state writes must land before results
+    # (and before SWA may overwrite a fold's best checkpoint)
     writer.join()
+
+    # ---- SWA finalization, stacked (`previous/V3-efb2/...:445-507` via the
+    # sequential path in train/loop.py): average already lives in
+    # state.swa_params; refresh BN stats over each fold's train data, validate
+    # all folds at once, and keep the SWA weights per fold where they win.
+    if cfg.use_swa and state.swa_params is not None:
+        swa_counts = np.asarray(state.swa_count)
+        if int(swa_counts.min()) > 0:
+            swa_state = state.replace(params=state.swa_params, ema_params=None)
+            if state.batch_stats is not None:
+                bn_step = jax.jit(jax.vmap(make_bn_update_step(bundle, cfg)))
+                bs = state.batch_stats
+                for t in train_loaders:
+                    t.set_epoch(0)
+                bn_iters = [iter(t) for t in train_loaders]
+                for _ in range(steps_per_epoch):
+                    batches = [next(it) for it in bn_iters]
+                    stacked = _stack_batches(batches, ("image", "label"))
+                    stacked = {
+                        k: jax.device_put(v, b_shard) for k, v in stacked.items()
+                    }
+                    bs = bn_step(swa_state.params, bs, stacked)
+                swa_state = swa_state.replace(batch_stats=bs)
+            sums = _stacked_validate(eval_step, swa_state, val_loaders, b_shard)
+            for k in range(n_folds):
+                count = max(float(sums["count"][k]), 1.0)
+                swa_acc = float(sums["correct"][k]) / count
+                logger.info(
+                    "fold %d SWA (%d snapshots): val %.4f/%.4f",
+                    k + 1, int(swa_counts[k]),
+                    float(sums["loss_sum"][k]) / count, swa_acc,
+                )
+                if swa_acc > best_val_acc[k]:
+                    best_val_acc[k] = swa_acc
+                    snap = {
+                        "params": jax.tree.map(
+                            lambda a: np.asarray(a[k]), swa_state.params
+                        )
+                    }
+                    if swa_state.batch_stats is not None:
+                        snap["batch_stats"] = jax.tree.map(
+                            lambda a: np.asarray(a[k]), swa_state.batch_stats
+                        )
+                    best_variables[k] = snap
+                    ckpt.save_best(
+                        cfg.model_save_path, k + 1, snap["params"],
+                        snap.get("batch_stats"), swa_acc,
+                    )
+
     results = []
     for k in range(n_folds):
         if not best_variables[k]:

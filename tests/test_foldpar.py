@@ -183,7 +183,53 @@ def test_fold_parallel_rejects_unsupported(dataset):
     from image_classification_tpu.train.foldpar import train_k_fold_parallel
 
     root = dataset
-    cfg = _cfg(root, fold_parallel=True, use_swa=True)
+    cfg = _cfg(root, fold_parallel=True, progressive_resizing=True)
     mesh = build_mesh(MeshSpec(data=2, model=2, fold=2))
-    with pytest.raises(ValueError, match="use_swa"):
+    with pytest.raises(ValueError, match="progressive_resizing"):
         train_k_fold_parallel(cfg, [(None, None), (None, None)], None, mesh)
+
+
+def test_fold_parallel_swa_matches_sequential(dataset):
+    """use_swa: the stacked SWA average, BN-free finalization validation, and
+    per-fold best replacement must reproduce the sequential path's SWA
+    results (same snapshots, same selection decision)."""
+    from image_classification_tpu.train.kfold import train_k_fold
+
+    root = dataset
+    kw = dict(use_swa=True, swa_start_epoch=1, epochs=3)
+    seq = train_k_fold(_cfg(root, output_dir=f"{root}/out_sseq",
+                            model_save_path=f"{root}/models_sseq", **kw))
+    mesh = build_mesh(MeshSpec(data=2, model=2, fold=2))
+    par = train_k_fold(
+        _cfg(root, fold_parallel=True, output_dir=f"{root}/out_spar",
+             model_save_path=f"{root}/models_spar", **kw),
+        mesh=mesh,
+    )
+    for s, p in zip(seq, par):
+        for hs, hp in zip(s.history, p.history):
+            np.testing.assert_allclose(
+                hs["train_loss"], hp["train_loss"], rtol=0.02, atol=0.02
+            )
+        # SWA may or may not win over the epoch best, but both paths must
+        # agree on the resulting best accuracy
+        np.testing.assert_allclose(s.best_val_acc, p.best_val_acc, atol=0.021)
+
+
+def test_fold_parallel_swa_bn_refresh(dataset):
+    """A BatchNorm model (EfficientNet) exercises the stacked BN-refresh
+    pass: the run must complete with finite metrics and per-fold-distinct
+    best params."""
+    from image_classification_tpu.train.kfold import train_k_fold
+
+    root = dataset
+    cfg = _cfg(
+        root, fold_parallel=True, model_name="efficientnet_b0",
+        use_swa=True, swa_start_epoch=1, epochs=2,
+        output_dir=f"{root}/out_bnswa", model_save_path=f"{root}/models_bnswa",
+    )
+    mesh = build_mesh(MeshSpec(data=2, model=2, fold=2))
+    par = train_k_fold(cfg, mesh=mesh)
+    assert len(par) == 2
+    for p in par:
+        assert np.isfinite(p.history[-1]["train_loss"])
+        assert "batch_stats" in p.best_variables

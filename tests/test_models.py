@@ -172,3 +172,61 @@ def test_dwconv_impl_pallas_parity():
     jax.tree.map(lambda a, b: np.testing.assert_array_equal(a, b),
                  vs["conv"], vs["pallas"])
     np.testing.assert_allclose(outs["conv"], outs["pallas"], rtol=2e-5, atol=2e-5)
+
+
+def test_patch_conv_p2_matches_lax_conv_same():
+    """The P=2 W-fold + H-interleave + matmul lowering (layers.patch_conv)
+    must match lax conv with SAME padding exactly — value AND gradients —
+    on both even and odd spatial sizes (ConvNeXt downsamples see 65/33/17).
+    Reference semantics: the 2x2/2 stage downsample of timm ConvNeXt
+    (`train_advanced_v4.py:484-502` model factory)."""
+    from image_classification_tpu.models.layers import patch_conv
+
+    rng = np.random.default_rng(7)
+    for H, W in ((8, 8), (7, 9), (17, 17), (5, 4)):
+        x = jnp.asarray(rng.normal(size=(2, H, W, 6)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(2, 2, 6, 10)).astype(np.float32) * 0.1)
+        b = jnp.asarray(rng.normal(size=(10,)).astype(np.float32))
+
+        def ref(x, k, b):
+            out = jax.lax.conv_general_dilated(
+                x, k, (2, 2), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            return out + b
+
+        got = patch_conv(x, k, b, 2)
+        want = ref(x, k, b)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+        )
+        # gradient parity (the conv's backward includes the pad-scatter)
+        g1 = jax.grad(lambda *a: jnp.sum(patch_conv(*a, 2) ** 2), argnums=(0, 1, 2))(x, k, b)
+        g2 = jax.grad(lambda *a: jnp.sum(ref(*a) ** 2), argnums=(0, 1, 2))(x, k, b)
+        for a, w in zip(g1, g2):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(w), rtol=1e-4, atol=1e-4
+            )
+
+
+def test_downsample_impl_matmul_matches_conv():
+    """downsample_impl='matmul' must produce the same ConvNeXt outputs as
+    the nn.Conv path (identical params)."""
+    from image_classification_tpu.models.convnext import build_convnext
+
+    x = jnp.asarray(
+        np.random.default_rng(3).normal(size=(2, 34, 34, 3)).astype(np.float32)
+    )
+    outs = {}
+    vs = {}
+    for impl in ("conv", "matmul"):
+        m = build_convnext(
+            "convnext_atto", 7, dtype=jnp.float32, downsample_impl=impl
+        )
+        v = m.init(jax.random.key(0), x)
+        vs[impl] = v
+        outs[impl] = np.asarray(m.apply(v, x))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(a, b), vs["conv"], vs["matmul"]
+    )
+    np.testing.assert_allclose(outs["conv"], outs["matmul"], rtol=2e-5, atol=2e-5)
