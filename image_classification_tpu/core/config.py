@@ -212,6 +212,14 @@ class Config:
     compute_dtype: str = "bfloat16"     # replaces AMP fp16+GradScaler
     use_ema: bool = True
     ema_decay: float = 0.9997
+    # Whether validation / best-checkpoint weights are the EMA shadow (V4
+    # semantics: `train_advanced_v4.py:449-462` apply_shadow around validate
+    # and save) or the raw online weights. V3.1 maintains an EMA but NEVER
+    # applies it — its `ModelEMA.module` is the live model and
+    # `apply_shadow` has no call site (`V3.1/utils.py:6-37`,
+    # `V3.1/train_advanced_v3.2.py:600,612`) — so the v3_1 preset sets this
+    # false to reproduce raw-weight validation.
+    ema_eval: bool = True
     use_swa: bool = False               # reference `previous/V3-efb2/...:445-507`
     swa_start_epoch: int = 10
     swa_lr: float = 1e-5

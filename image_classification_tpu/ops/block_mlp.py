@@ -188,10 +188,15 @@ def pick_tm(m: int, target: int = 512, cap: int = 768, c: int = 0) -> int:
     (*stage 3 runs with the halved wide-C target).
     Falls back to ``target`` (with padding) when m has no 8-multiple divisor.
     For wide blocks (c > 512) the (TM, 4C) f32 temporaries dominate VMEM, so
-    the target/cap halve. Env override: IC_TPU_BLOCKMLP_TM."""
+    the target/cap halve. Env overrides: IC_TPU_BLOCKMLP_TM (absolute tile),
+    IC_TPU_BLOCKMLP_TARGET (retarget the divisor search; cap scales 1.5x)."""
     override = os.environ.get("IC_TPU_BLOCKMLP_TM")
     if override:
         return int(override)
+    retarget = os.environ.get("IC_TPU_BLOCKMLP_TARGET")
+    if retarget:
+        target = int(retarget)
+        cap = (target * 3) // 2
     if c > 512:
         target, cap = target // 2, cap // 2
     import math

@@ -233,7 +233,7 @@ def train_k_fold_parallel(
             fold_weights, NamedSharding(mesh, P(FOLD_AXIS))
         )
         train_step = lambda s, b, k: _jit_w(s, b, k, fold_weights)
-    eval_step = jax.jit(jax.vmap(make_eval_step(bundle, cfg)))
+    eval_step = jax.jit(jax.vmap(make_eval_step(bundle, cfg, use_ema=cfg.ema_eval)))
     swa_step = jax.jit(jax.vmap(swa_update), out_shardings=s_shard)
 
     root = prng.root_key(cfg.seed)
@@ -353,7 +353,7 @@ def train_k_fold_parallel(
                 # donation), so the slow device->host pull can ride the
                 # background writer. eval_params just selects the EMA tree;
                 # stacked arrays pass through unchanged, so no vmap needed.
-                ep = state.eval_params(use_ema=cfg.use_ema)
+                ep = state.eval_params(use_ema=cfg.use_ema and cfg.ema_eval)
                 snap = {"params": jax.tree.map(lambda a: a[k], ep)}
                 if state.batch_stats is not None:
                     snap["batch_stats"] = jax.tree.map(

@@ -202,7 +202,9 @@ def train_fold(
         return step_cache[size]
 
     if shared.get("eval_step") is None:
-        shared["eval_step"] = jax.jit(make_eval_step(bundle, cfg))
+        shared["eval_step"] = jax.jit(
+            make_eval_step(bundle, cfg, use_ema=cfg.ema_eval)
+        )
     eval_step = shared["eval_step"]
 
     # Host-side fold bookkeeping — restored on resume so a resumed fold is
@@ -319,7 +321,7 @@ def train_fold(
             # weights this epoch); the slow device->host pull happens once.
             if cfg.async_checkpoint:
                 snap_p = ckpt.snapshot_device_tree(
-                    state.eval_params(use_ema=cfg.use_ema)
+                    state.eval_params(use_ema=cfg.use_ema and cfg.ema_eval)
                 )
                 snap_bs = (
                     ckpt.snapshot_device_tree(state.batch_stats)
@@ -348,7 +350,9 @@ def train_fold(
 
                 writer.submit(_best_job)
             else:
-                eval_params = state.eval_params(use_ema=cfg.use_ema)
+                eval_params = state.eval_params(
+                    use_ema=cfg.use_ema and cfg.ema_eval
+                )
                 host = {"params": jax.tree.map(np.asarray, eval_params)}
                 if state.batch_stats is not None:
                     host["batch_stats"] = jax.tree.map(

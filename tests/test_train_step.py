@@ -162,6 +162,23 @@ def test_eval_uses_ema_params(setup):
     assert float(m1["loss_sum"]) != float(m2["loss_sum"])
 
 
+def test_ema_eval_false_validates_raw_weights(setup):
+    """`cfg.ema_eval=false` reproduces V3.1's quirk: the EMA shadow exists
+    but validation uses RAW weights (`V3.1/utils.py:6-37` — `ModelEMA.module`
+    is the live model, `apply_shadow` has no call site)."""
+    cfg, bundle, tx, state, step = setup
+    batch = make_batch(cfg)
+    s = state
+    for i in range(2):
+        s, _ = step(s, batch, jax.random.key(i))
+    cfg_v31 = cfg.replace(ema_eval=False)
+    eval_v31 = jax.jit(make_eval_step(bundle, cfg_v31, use_ema=cfg_v31.ema_eval))
+    eval_raw = jax.jit(make_eval_step(bundle, cfg, use_ema=False))
+    m1 = eval_v31(s, batch)
+    m2 = eval_raw(s, batch)
+    assert float(m1["loss_sum"]) == float(m2["loss_sum"])
+
+
 def test_swa_update():
     import optax
 
