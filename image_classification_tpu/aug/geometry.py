@@ -157,13 +157,24 @@ def bilinear_gather_mxu_xfirst(
 _MXU_WARP_MAX_SRC_PIXELS = 128 * 128
 
 
-def sample_image(img: jnp.ndarray, coords_yx: jnp.ndarray) -> jnp.ndarray:
+def sample_image(
+    img: jnp.ndarray, coords_yx: jnp.ndarray, impl: str = "xla"
+) -> jnp.ndarray:
     """Dispatch bilinear sampling to the MXU formulation for small source
     images (the hot path: native 60x80 decode size) or the generic gather.
     The MXU form contracts the longer source axis first so the HBM-resident
     (B, P, rest) intermediate — the formulation's dominant traffic — is as
-    small as possible."""
+    small as possible. ``impl="pallas"`` routes to the fused VMEM-resident
+    kernel (ops/warp.py) when available on this backend."""
     B, H, W, C = img.shape
+    if impl == "pallas":
+        from image_classification_tpu.ops.warp import (
+            warp_pallas,
+            warp_pallas_available,
+        )
+
+        if warp_pallas_available(img.shape):
+            return warp_pallas(img, coords_yx)
     if H * W <= _MXU_WARP_MAX_SRC_PIXELS:
         if H <= W:
             return bilinear_gather_mxu_xfirst(img, coords_yx)
@@ -462,6 +473,11 @@ def distortion_source_map(
 # --------------------------------------------------------------------------
 
 class GeometryCfg(NamedTuple):
+    # "xla" = two-contraction MXU form with an HBM-resident (B, P, rest)
+    # intermediate; "pallas" = fused ops/warp.py kernel (intermediate stays
+    # in VMEM — kills the (B, P, H*C) relayout copy). Auto-falls back to
+    # xla off-TPU or when the source image outgrows VMEM.
+    warp_impl: str = "xla"
     rrc_scale: tuple[float, float] = (0.8, 1.0)
     rrc_ratio: tuple[float, float] = (0.75, 4.0 / 3.0)
     hflip_prob: float = 0.5
@@ -498,4 +514,4 @@ def geometric_augment(
     homog = jnp.concatenate([src_xy, jnp.ones_like(src_xy[..., :1])], axis=-1)
     native_xy = jnp.einsum("bij,bhwj->bhwi", T, homog)
     coords_yx = jnp.stack([native_xy[..., 1], native_xy[..., 0]], axis=-1)
-    return sample_image(images, coords_yx)
+    return sample_image(images, coords_yx, impl=cfg.warp_impl)

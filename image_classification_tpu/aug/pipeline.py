@@ -31,10 +31,23 @@ from image_classification_tpu.aug import randaug as randaug_ops
 from image_classification_tpu.core import prng
 
 
+def _warp_impl(cfg) -> str:
+    """Demote the Pallas warp to the XLA form on non-trivial meshes —
+    pallas_call has no SPMD partitioning rule, so under a sharded batch dim
+    XLA would all-gather the images (same policy as block_mlp,
+    models/factory.py)."""
+    if getattr(cfg, "warp_impl", "xla") != "pallas":
+        return "xla"
+    from image_classification_tpu.models.factory import _multi_device
+
+    return "xla" if _multi_device(cfg) else "pallas"
+
+
 def aug_configs_from(cfg) -> dict:
     """Build the per-stage static configs from the framework Config."""
     return {
         "geometry": geom.GeometryCfg(
+            warp_impl=_warp_impl(cfg),
             rrc_scale=tuple(cfg.rrc_scale),
             rrc_ratio=tuple(cfg.rrc_ratio),
             hflip_prob=cfg.hflip_prob,

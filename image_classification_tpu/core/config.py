@@ -150,6 +150,12 @@ class Config:
     # (train/fused.py): same math as the optax chain, one tree traversal.
     # Auto-falls back to the generic optax path for plateau/freeze modes.
     fused_update: bool = True
+    # Bilinear-warp lowering for the device-side geometric augmentation:
+    # "xla" = two MXU contractions with an HBM (B, P, H*C) intermediate;
+    # "pallas" = fused ops/warp.py kernel, intermediate stays in VMEM (the
+    # profiled (B, 67600, 180) relayout copy disappears). Demoted to xla on
+    # multi-device meshes (no SPMD rule) and off-TPU.
+    warp_impl: str = "xla"
     # ConvNeXt 2x2/2 stage-downsample lowering: "conv" = nn.Conv (XLA conv
     # emitter, channel-major layout preference); "matmul" = W-fold reshape +
     # H-phase interleave + one MXU matmul (models/layers.patch_conv P=2 path;
@@ -309,6 +315,8 @@ class Config:
             raise ValueError(f"unknown dwconv_impl {self.dwconv_impl!r}")
         if self.block_mlp_impl not in ("xla", "pallas"):
             raise ValueError(f"unknown block_mlp_impl {self.block_mlp_impl!r}")
+        if self.warp_impl not in ("xla", "pallas"):
+            raise ValueError(f"unknown warp_impl {self.warp_impl!r}")
         if self.downsample_impl not in ("conv", "matmul"):
             raise ValueError(
                 f"unknown downsample_impl {self.downsample_impl!r}"

@@ -156,3 +156,18 @@ def test_config_validates_new_fields():
         Config(val_fraction=1.5).validate()
     with pytest.raises(ValueError):
         Config(norm_stats="bogus").validate()
+
+
+def test_warp_impl_plumbing_and_mesh_demotion():
+    from image_classification_tpu.aug.pipeline import _warp_impl, aug_configs_from
+
+    with pytest.raises(ValueError):
+        Config(warp_impl="bogus").validate()
+    cfg = Config(warp_impl="pallas", mesh_data=1, mesh_model=1).validate()
+    assert _warp_impl(cfg) == "pallas"
+    assert aug_configs_from(cfg)["geometry"].warp_impl == "pallas"
+    # non-trivial mesh: demoted (pallas_call has no SPMD partitioning rule)
+    cfg_mesh = Config(warp_impl="pallas", mesh_data=4, mesh_model=2).validate()
+    assert _warp_impl(cfg_mesh) == "xla"
+    # default stays xla
+    assert _warp_impl(Config(mesh_data=1, mesh_model=1).validate()) == "xla"
