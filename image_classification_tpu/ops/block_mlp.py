@@ -57,9 +57,19 @@ def _gelu_exact(a: jnp.ndarray) -> jnp.ndarray:
 
 
 def _gelu_grad(a: jnp.ndarray) -> jnp.ndarray:
-    """d/da of exact GELU."""
-    cdf = 0.5 * (1.0 + _erf(a * _SQRT_HALF))
-    pdf = _INV_SQRT_2PI * jnp.exp(-0.5 * a * a)
+    """d/da of exact GELU. One transcendental: erf's argument is a*sqrt(1/2),
+    so the A&S erf's internal exp(-x^2) IS the Gaussian pdf's exp(-a^2/2) —
+    share it instead of paying a second exp (exp dominates the VPU cost of
+    the backward GELU tail)."""
+    x = a * _SQRT_HALF
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    e = jnp.exp(-ax * ax)  # = exp(-a^2 / 2)
+    erf = jnp.sign(x) * (1.0 - poly * e)
+    cdf = 0.5 * (1.0 + erf)
+    pdf = _INV_SQRT_2PI * e
     return cdf + a * pdf
 
 
@@ -369,6 +379,8 @@ def block_mlp_available(c: int) -> bool:
         return False
     if c > int(os.environ.get("IC_TPU_BLOCKMLP_MAXC", "512")):
         return False
+    if c < int(os.environ.get("IC_TPU_BLOCKMLP_MINC", "0")):
+        return False  # A/B lever: route small-C stages back to XLA
     if interpret_forced():
         return True
     from image_classification_tpu.ops.dwconv import pallas_available

@@ -61,10 +61,18 @@ def main():
         tm = pick_tm(m, c=c)
         flop_fwd = 16 * m * c * c  # fc1 + fc2 (2 matmuls, 2 flop/MAC)
 
+        def perturb(x, acc):
+            # loop-carried dependency: forces one body execution per
+            # iteration (without it XLA hoists the loop-invariant body and
+            # every arm measures a single execution). bf16 underflows the
+            # 1e-30 to zero in VALUE, but the add still depends on acc.
+            return x + (acc * 1e-30).astype(x.dtype)
+
         @jax.jit
         def pallas_fwd(x, res, w1, w2):
             def body(i, acc):
-                o = block_mlp(x, res, s, t, w1, b1, w2, b2, g, 1e-6, tm, False)
+                o = block_mlp(perturb(x, acc), res, s, t, w1, b1, w2, b2, g,
+                              1e-6, tm, False)
                 return acc + jnp.sum(o[:1, :].astype(jnp.float32))
             return jax.lax.fori_loop(0, n_iters, body, jnp.zeros((), jnp.float32))
 
@@ -74,7 +82,8 @@ def main():
                 o = block_mlp(x, res, s, t, w1, b1, w2, b2, g, 1e-6, tm, False)
                 return jnp.sum(o.astype(jnp.float32))
             def body(i, acc):
-                l, grads = jax.value_and_grad(loss, argnums=(0, 2, 3))(x, res, w1, w2)
+                l, grads = jax.value_and_grad(loss, argnums=(0, 2, 3))(
+                    perturb(x, acc), res, w1, w2)
                 return acc + l + sum(jnp.sum(gr[:1].astype(jnp.float32)) for gr in grads)
             return jax.lax.fori_loop(0, n_iters, body, jnp.zeros((), jnp.float32))
 
@@ -96,7 +105,7 @@ def main():
         @jax.jit
         def xla_fwd(x, res, w1, w2):
             def body(i, acc):
-                o = xla_tail(x, res, w1, w2)
+                o = xla_tail(perturb(x, acc), res, w1, w2)
                 return acc + jnp.sum(o[:1, :])
             return jax.lax.fori_loop(0, n_iters, body, jnp.zeros((), jnp.float32))
 
@@ -105,14 +114,15 @@ def main():
             def loss(x, res, w1, w2):
                 return jnp.sum(xla_tail(x, res, w1, w2))
             def body(i, acc):
-                l, grads = jax.value_and_grad(loss, argnums=(0, 2, 3))(x, res, w1, w2)
+                l, grads = jax.value_and_grad(loss, argnums=(0, 2, 3))(
+                    perturb(x, acc), res, w1, w2)
                 return acc + l + sum(jnp.sum(gr[:1].astype(jnp.float32)) for gr in grads)
             return jax.lax.fori_loop(0, n_iters, body, jnp.zeros((), jnp.float32))
 
         @jax.jit
         def dots_only(x, w1, w2):
             def body(i, acc):
-                a = jax.lax.dot_general(x, w1.astype(jnp.bfloat16),
+                a = jax.lax.dot_general(perturb(x, acc), w1.astype(jnp.bfloat16),
                                         (((1,), (0,)), ((), ())),
                                         preferred_element_type=jnp.float32)
                 u = jax.lax.dot_general(a.astype(jnp.bfloat16), w2.astype(jnp.bfloat16),
