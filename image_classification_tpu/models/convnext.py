@@ -94,6 +94,14 @@ class ConvNeXtBlock(nn.Module):
     mlp_2d: bool = False        # flatten (B,H,W,C)->(BHW,C) around LN+MLP
     pin_layout: bool = False    # force row-major around the dwconv
     block_mlp_impl: str = "xla"  # "xla" | "pallas" (ops/block_mlp.py)
+    # Concrete jax.sharding.Mesh for data-parallel-only runs: the fused
+    # Pallas tail is wrapped in jax.shard_map (rows sharded on "data",
+    # params replicated), so each shard runs the kernel on its local rows
+    # and shard_map's transpose rule inserts the weight-grad psum. None =
+    # single-device direct call. tp>1 meshes demote to XLA instead
+    # (models/factory.py) — the Megatron-sharded MLP weights would need
+    # an in-kernel collective.
+    shard_mesh: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
@@ -144,9 +152,32 @@ class ConvNeXtBlock(nn.Module):
             )
             x2 = x.reshape(-1, shape4[-1])
             res2 = shortcut.reshape(-1, shape4[-1])
-            out = block_mlp(x2, res2, s, t, w1, b1, w2, b2, gamma,
-                            1e-6, pick_tm(x2.shape[0], c=self.dim),
-                            interpret_forced())
+            if self.shard_mesh is not None:
+                from jax.sharding import PartitionSpec as P_
+
+                def _local(x2l, res2l, sl, tl, w1l, b1l, w2l, b2l, gl):
+                    # local row count (BHW/dp) at trace time -> local tile
+                    return block_mlp(
+                        x2l, res2l, sl, tl, w1l, b1l, w2l, b2l, gl, 1e-6,
+                        pick_tm(x2l.shape[0], c=self.dim),
+                        interpret_forced(),
+                    )
+
+                out = jax.shard_map(
+                    _local, mesh=self.shard_mesh,
+                    in_specs=(P_("data"), P_("data")) + (P_(),) * 7,
+                    out_specs=P_("data"),
+                    # pallas_call's ShapeDtypeStruct outputs carry no vma
+                    # annotation; the varying/replicated analysis cannot see
+                    # through the custom call, so it is disabled here (the
+                    # sharded==single-device equivalence is covered by
+                    # tests/test_multichip.py).
+                    check_vma=False,
+                )(x2, res2, s, t, w1, b1, w2, b2, gamma)
+            else:
+                out = block_mlp(x2, res2, s, t, w1, b1, w2, b2, gamma,
+                                1e-6, pick_tm(x2.shape[0], c=self.dim),
+                                interpret_forced())
             return out.reshape(shape4)
 
         if self.mlp_2d:
@@ -184,6 +215,7 @@ class ConvNeXt(nn.Module):
     block_remat: str = "none"  # "none" | "dots" | "full"
     block_mlp_impl: str = "xla"  # "xla" | "pallas" (ops/block_mlp.py)
     downsample_impl: str = "conv"  # "conv" | "matmul" (layers.patch_conv P=2)
+    shard_mesh: Any = None  # dp-only mesh for shard_map'd Pallas tails
 
     def _block_cls(self):
         """ConvNeXtBlock, optionally remat-wrapped.
@@ -254,6 +286,7 @@ class ConvNeXt(nn.Module):
                     dwconv_impl=self.dwconv_impl, mlp_2d=self.mlp_2d,
                     pin_layout=self.pin_layout,
                     block_mlp_impl=self.block_mlp_impl,
+                    shard_mesh=self.shard_mesh,
                     name=f"stage{i}_block{j}",
                 )(x, deterministic)
             if i > 0:

@@ -87,9 +87,25 @@ def _multi_device(cfg) -> bool:
     return data * cfg.mesh_model > 1
 
 
-def create_model(cfg, model_name: str | None = None) -> ModelBundle:
+def _dp_only(mesh) -> bool:
+    """True when ``mesh`` parallelizes over the "data" axis only (every
+    other axis has size 1) — the regime where the Pallas block tail can run
+    under shard_map with replicated weights."""
+    return (
+        mesh.shape.get("data", 1) > 1
+        and all(n == 1 for ax, n in mesh.shape.items() if ax != "data")
+    )
+
+
+def create_model(cfg, model_name: str | None = None, mesh=None) -> ModelBundle:
     """Build a model from the framework Config (or an explicit name, for
-    multi-architecture ensembles — `previous/V2-convbase/config.py:46-51`)."""
+    multi-architecture ensembles — `previous/V2-convbase/config.py:46-51`).
+
+    ``mesh``: the concrete training Mesh, when known. On data-parallel-only
+    meshes the fused Pallas block tail stays enabled via shard_map (rows
+    sharded on "data", weights replicated — the weight-grad psum comes from
+    shard_map's transpose rule); tensor-parallel or fold meshes demote to
+    the XLA formulation, which GSPMD shards cleanly."""
     name = model_name or cfg.model_name
     family = _family(name)
     kwargs: dict[str, Any] = dict(
@@ -99,18 +115,25 @@ def create_model(cfg, model_name: str | None = None) -> ModelBundle:
     kwargs["dtype"] = dtype
     if family == "convnext":
         block_mlp_impl = cfg.block_mlp_impl
-        if block_mlp_impl == "pallas" and _multi_device(cfg):
-            # pallas_call has no SPMD partitioning rule: under pjit over a
-            # non-trivial mesh XLA would all-gather the (BHW, C) activations
-            # to run the custom call replicated. The XLA formulation shards
-            # cleanly, so multi-device runs demote to it.
-            block_mlp_impl = "xla"
+        shard_mesh = None
+        if block_mlp_impl == "pallas":
+            if mesh is not None and _dp_only(mesh):
+                shard_mesh = mesh
+            elif (mesh is not None and mesh.size > 1) or (
+                mesh is None and _multi_device(cfg)
+            ):
+                # pallas_call has no SPMD partitioning rule: under pjit over
+                # a tp/fold mesh XLA would all-gather the (BHW, C)
+                # activations to run the custom call replicated. The XLA
+                # formulation shards cleanly, so those runs demote to it.
+                block_mlp_impl = "xla"
         backbone = build_convnext(
             name, cfg.num_classes, gelu_approximate=cfg.gelu_approximate,
             dwconv_impl=cfg.dwconv_impl, mlp_2d=cfg.mlp_2d,
             pin_layout=cfg.pin_layout, block_remat=cfg.block_remat,
             block_mlp_impl=block_mlp_impl,
             downsample_impl=cfg.downsample_impl,
+            shard_mesh=shard_mesh,
             **kwargs,
         )
     elif family == "efficientnet":

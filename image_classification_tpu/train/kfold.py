@@ -197,7 +197,7 @@ def train_k_fold(
             result = train_fold(
                 cfg, train_loader, val_loader, fold=fold,
                 class_counts=class_counts, resume=resume,
-                model_name=model_name, shared=shared,
+                model_name=model_name, shared=shared, mesh=mesh,
             )
             results.append(result)
             logger.info("fold %d done: best val acc %.4f", fold, result.best_val_acc)

@@ -124,14 +124,17 @@ def train_fold(
     resume: bool = False,
     model_name: str | None = None,
     shared: dict | None = None,
+    mesh=None,
 ) -> FoldResult:
     """``shared``: an optional dict persisted across folds by the K-fold
     orchestrator; compiled train/eval steps (and the model bundle) are reused
     between folds — XLA compiles of the full step cost minutes, and every
-    fold's model is identical by construction (only the params differ)."""
+    fold's model is identical by construction (only the params differ).
+    ``mesh``: the training Mesh when multi-device (lets dp-only runs keep
+    the Pallas block tail via shard_map — models/factory.create_model)."""
     shared = shared if shared is not None else {}
     if "bundle" not in shared:
-        shared["bundle"] = create_model(cfg, model_name)
+        shared["bundle"] = create_model(cfg, model_name, mesh=mesh)
     bundle = shared["bundle"]
     root = prng.root_key(cfg.seed)
     fold_key = prng.fold(root, fold)

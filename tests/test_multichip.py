@@ -184,3 +184,62 @@ def test_dp_matches_single_device(dp_tp_setup):
     a = np.asarray(s1.params["stage0_block0"]["mlp_fc1"]["kernel"])
     b = np.asarray(s2.params["stage0_block0"]["mlp_fc1"]["kernel"])
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_pallas_block_mlp_shard_map_dp(monkeypatch):
+    """dp-only mesh keeps block_mlp_impl=pallas via shard_map (rows sharded
+    on "data", weights replicated; weight-grad psum from shard_map's
+    transpose rule). The sharded step must match the unsharded kernel step
+    exactly — interpret mode stands in for the TPU kernel on CPU."""
+    monkeypatch.setenv("IC_TPU_BLOCKMLP_INTERPRET", "1")
+    mesh = build_mesh(MeshSpec(data=8, model=1))
+    cfg = Config(
+        model_name="convnext_femto",
+        num_classes=8,
+        native_size=(24, 32),
+        image_size=(32, 32),
+        batch_size=8,
+        gradient_accumulation_steps=1,
+        use_deep_supervision=False,
+        use_ema=False,
+        compute_dtype="float32",
+        block_mlp_impl="pallas",
+        distortion_prob=0.0,
+        noise_blur_prob=0.0,
+        color_jitter_prob=0.0,
+        color_shift_prob=0.0,
+    ).validate()
+    bundle_sh = create_model(cfg, mesh=mesh)
+    assert bundle_sh.module.shard_mesh is mesh
+    assert bundle_sh.module.block_mlp_impl == "pallas"
+    # no mesh on an 8-device backend -> demoted to the XLA formulation,
+    # so this compares the shard_map'd interpret-mode kernel against the
+    # XLA math end-to-end (through loss, grads, and the optimizer update)
+    bundle_1 = create_model(cfg)
+    assert bundle_1.module.block_mlp_impl == "xla"
+    tx = build_optimizer(cfg, cfg.lr)
+    variables = bundle_1.init(jax.random.key(0))
+    state = create_train_state(variables, tx, use_ema=False)
+    rng = np.random.default_rng(3)
+    batch_np = {
+        "image": rng.integers(0, 256, (cfg.batch_size, *cfg.native_size, 3)).astype(
+            np.uint8
+        ),
+        "label": rng.integers(0, 8, cfg.batch_size).astype(np.int32),
+    }
+    step_plain = jax.jit(make_train_step(bundle_1, cfg, tx, build_criterion(cfg)))
+    s1, m1 = step_plain(state, batch_np, jax.random.key(2))
+
+    s_shard = state_shardings(state, mesh)
+    state_sh = jax.device_put(state, s_shard)
+    b_shard = batch_sharding(mesh)
+    batch_sh = {k: jax.device_put(v, b_shard) for k, v in batch_np.items()}
+    step_sh = jax.jit(
+        make_train_step(bundle_sh, cfg, tx, build_criterion(cfg)),
+        out_shardings=(s_shard, None),
+    )
+    s2, m2 = step_sh(state_sh, batch_sh, jax.random.key(2))
+    assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-5)
+    a = np.asarray(s1.params["stage0_block0"]["mlp_fc1"]["kernel"])
+    b = np.asarray(s2.params["stage0_block0"]["mlp_fc1"]["kernel"])
+    np.testing.assert_allclose(a, b, atol=1e-5)
