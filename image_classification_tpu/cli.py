@@ -102,11 +102,27 @@ def cmd_predict(args) -> None:
     logger = setup_logging()
     if cfg.norm_stats == "dataset":
         # inference must normalize with the SAME train-set stats as training
-        # (example.py:119-135); resolved from the cached JSON when present.
-        from image_classification_tpu.data.stats import resolve_norm_stats
+        # (example.py:119-135). Preferred source: the norm_stats.json the
+        # trainer wrote next to the checkpoints — standalone inference then
+        # needs no training data at all. Fallback: recompute from the train
+        # set (cached JSON keyed by the decode cache).
+        from image_classification_tpu.data.stats import (
+            load_saved_norm_stats,
+            resolve_norm_stats,
+        )
 
-        train_manifest = Manifest.from_csv(cfg.train_csv, num_classes=cfg.num_classes)
-        cfg = resolve_norm_stats(cfg, build_source(cfg, train_manifest, cfg.train_dir))
+        resolved = load_saved_norm_stats(
+            cfg, os.path.join(cfg.model_save_path, "norm_stats.json")
+        )
+        if resolved is not None:
+            cfg = resolved
+        else:
+            train_manifest = Manifest.from_csv(
+                cfg.train_csv, num_classes=cfg.num_classes
+            )
+            cfg = resolve_norm_stats(
+                cfg, build_source(cfg, train_manifest, cfg.train_dir)
+            )
     bundle = create_model(cfg)
     import jax
 

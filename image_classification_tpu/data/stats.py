@@ -38,7 +38,7 @@ def compute_channel_stats(
     return tuple(float(m) for m in mean), tuple(float(s) for s in std)
 
 
-def resolve_norm_stats(cfg, source) -> "cfg":
+def resolve_norm_stats(cfg, source, save_to: str | None = None) -> "cfg":
     """Apply ``cfg.norm_stats``: with ``"dataset"``, compute (and cache)
     train-set channel stats and return a config with mean/std replaced —
     the notebook pipeline's normalization (`example.py:119-135`). With
@@ -46,7 +46,10 @@ def resolve_norm_stats(cfg, source) -> "cfg":
 
     The stats are cached as JSON in ``cfg.cache_dir`` keyed by the source's
     decode-cache key, so training and later standalone inference resolve the
-    exact same values.
+    exact same values. ``save_to``: additionally write the resolved stats to
+    a stable path (the trainer passes ``model_save_path/norm_stats.json`` so
+    checkpoints ship with their normalization and standalone inference never
+    needs the training data — see cli.cmd_predict).
     """
     if cfg.norm_stats == "imagenet":
         return cfg
@@ -68,4 +71,22 @@ def resolve_norm_stats(cfg, source) -> "cfg":
             os.makedirs(cfg.cache_dir, exist_ok=True)
             with open(path, "w") as f:
                 json.dump({"mean": mean, "std": std}, f)
+    if save_to is not None:
+        os.makedirs(os.path.dirname(save_to) or ".", exist_ok=True)
+        with open(save_to, "w") as f:
+            json.dump({"mean": mean, "std": std}, f)
+    return cfg.replace(mean=mean, std=std)
+
+
+def load_saved_norm_stats(cfg, path: str) -> "cfg | None":
+    """Load stats written by ``resolve_norm_stats(save_to=...)`` — the
+    checkpoint-resident normalization for standalone inference. Returns the
+    updated config, or None when the file doesn't exist."""
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        stats = json.load(f)
+    mean, std = tuple(stats["mean"]), tuple(stats["std"])
+    logger.info("dataset channel stats (from %s): mean=%s std=%s",
+                path, mean, std)
     return cfg.replace(mean=mean, std=std)

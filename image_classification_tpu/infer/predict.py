@@ -44,9 +44,17 @@ def predict_ensemble(
     # every fold-model; each model runs one forward over all views stacked
     # along the batch dim (train/step.py make_eval_views).
     views_fn = jax.jit(make_eval_views(cfg, tta))
-    forwards = [
-        jax.jit(make_forward_views(b, cfg, n_views)) for b in bundles
-    ]
+    # one compiled forward per DISTINCT module: K-fold ensembles pass the
+    # same bundle K times (cli.cmd_predict) and compiles are minutes on a
+    # remote-compile backend — fold checkpoints differ only in `variables`,
+    # which is an argument, not part of the traced program
+    fwd_cache: dict[int, Any] = {}
+    forwards = []
+    for b in bundles:
+        key = id(b.module)
+        if key not in fwd_cache:
+            fwd_cache[key] = jax.jit(make_forward_views(b, cfg, n_views))
+        forwards.append(fwd_cache[key])
     if weights is None:
         w = np.ones(len(bundles)) / len(bundles)
     else:

@@ -152,7 +152,15 @@ class ConvNeXtBlock(nn.Module):
             )
             x2 = x.reshape(-1, shape4[-1])
             res2 = shortcut.reshape(-1, shape4[-1])
-            if self.shard_mesh is not None:
+            # shard_map requires the row dim divisible by the data axis.
+            # Training/eval batches always are (batch_size % dp == 0,
+            # enforced upstream) but bundle.init traces with batch 1 —
+            # odd row counts there take the direct single-device call.
+            rows_shardable = (
+                self.shard_mesh is not None
+                and x2.shape[0] % self.shard_mesh.shape["data"] == 0
+            )
+            if rows_shardable:
                 from jax.sharding import PartitionSpec as P_
 
                 def _local(x2l, res2l, sl, tl, w1l, b1l, w2l, b2l, gl):

@@ -61,10 +61,16 @@ class ModelBundle:
     deep_supervised: bool
     has_batch_stats: bool
     input_size: tuple[int, int]
+    # Identical-params twin WITHOUT shard_mesh, used for init: bundle.init
+    # traces with batch 1 on the default device, which is incompatible with
+    # a shard_map'd module (device-set mismatch + row counts not divisible
+    # by the data axis). None = module is already mesh-free.
+    init_module: nn.Module | None = None
 
     def init(self, rng: jax.Array, batch_size: int = 1) -> dict:
         x = jnp.zeros((batch_size, *self.input_size, 3), jnp.float32)
-        return self.module.init({"params": rng, "dropout": rng}, x)
+        module = self.init_module if self.init_module is not None else self.module
+        return module.init({"params": rng, "dropout": rng}, x)
 
     def apply(
         self,
@@ -127,32 +133,42 @@ def create_model(cfg, model_name: str | None = None, mesh=None) -> ModelBundle:
                 # activations to run the custom call replicated. The XLA
                 # formulation shards cleanly, so those runs demote to it.
                 block_mlp_impl = "xla"
-        backbone = build_convnext(
-            name, cfg.num_classes, gelu_approximate=cfg.gelu_approximate,
-            dwconv_impl=cfg.dwconv_impl, mlp_2d=cfg.mlp_2d,
-            pin_layout=cfg.pin_layout, block_remat=cfg.block_remat,
-            block_mlp_impl=block_mlp_impl,
-            downsample_impl=cfg.downsample_impl,
-            shard_mesh=shard_mesh,
-            **kwargs,
-        )
+        def _mk_convnext(mesh_):
+            return build_convnext(
+                name, cfg.num_classes, gelu_approximate=cfg.gelu_approximate,
+                dwconv_impl=cfg.dwconv_impl, mlp_2d=cfg.mlp_2d,
+                pin_layout=cfg.pin_layout, block_remat=cfg.block_remat,
+                block_mlp_impl=block_mlp_impl,
+                downsample_impl=cfg.downsample_impl,
+                shard_mesh=mesh_,
+                **kwargs,
+            )
+
+        backbone = _mk_convnext(shard_mesh)
+        init_backbone = _mk_convnext(None) if shard_mesh is not None else None
     elif family == "efficientnet":
         backbone = build_efficientnet(name, cfg.num_classes, **kwargs)
+        init_backbone = None
     else:
         backbone = build_vit(name, cfg.num_classes, **kwargs)
+        init_backbone = None
 
     deep = bool(cfg.use_deep_supervision)
-    module: nn.Module = (
-        DeepSupervisionModel(backbone=backbone, num_classes=cfg.num_classes)
-        if deep
-        else backbone
-    )
+
+    def _wrap(bb):
+        return (
+            DeepSupervisionModel(backbone=bb, num_classes=cfg.num_classes)
+            if deep
+            else bb
+        )
+
     return ModelBundle(
         name=name,
-        module=module,
+        module=_wrap(backbone),
         deep_supervised=deep,
         has_batch_stats=(family == "efficientnet"),
         input_size=tuple(cfg.image_size),
+        init_module=None if init_backbone is None else _wrap(init_backbone),
     )
 
 

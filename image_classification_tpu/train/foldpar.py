@@ -452,8 +452,10 @@ def train_k_fold_parallel(
                     k + 1, int(swa_counts[k]),
                     float(sums["loss_sum"][k]) / count, swa_acc,
                 )
-                if swa_acc > best_val_acc[k]:
-                    best_val_acc[k] = swa_acc
+                swa_loss = float(sums["loss_sum"][k]) / count
+                wins_acc = swa_acc > best_val_acc[k]
+                wins_loss = cfg.save_best_loss and swa_loss < best_val_loss[k]
+                if wins_acc or wins_loss:
                     snap = {
                         "params": jax.tree.map(
                             lambda a: np.asarray(a[k]), swa_state.params
@@ -463,10 +465,19 @@ def train_k_fold_parallel(
                         snap["batch_stats"] = jax.tree.map(
                             lambda a: np.asarray(a[k]), swa_state.batch_stats
                         )
+                if wins_acc:
+                    best_val_acc[k] = swa_acc
                     best_variables[k] = snap
                     ckpt.save_best(
                         cfg.model_save_path, k + 1, snap["params"],
-                        snap.get("batch_stats"), swa_acc,
+                        snap.get("batch_stats"), swa_acc, val_loss=swa_loss,
+                    )
+                if wins_loss:  # SWA competes in both tiers (loop.py parity)
+                    best_val_loss[k] = swa_loss
+                    ckpt.save_best(
+                        cfg.model_save_path, k + 1, snap["params"],
+                        snap.get("batch_stats"), swa_acc, val_loss=swa_loss,
+                        metric="loss",
                     )
 
     results = []

@@ -15,6 +15,7 @@ into it (no per-fold decode).
 from __future__ import annotations
 
 import logging
+import os
 from typing import Any
 
 import numpy as np
@@ -148,7 +149,12 @@ def train_k_fold(
     if cfg.norm_stats == "dataset":
         from image_classification_tpu.data.stats import resolve_norm_stats
 
-        cfg = resolve_norm_stats(cfg, source)
+        # save_to: the stats ship with the checkpoints so `predict` on a
+        # machine without the training data normalizes identically
+        cfg = resolve_norm_stats(
+            cfg, source,
+            save_to=os.path.join(cfg.model_save_path, "norm_stats.json"),
+        )
     results: list[FoldResult] = []
     shared: dict = {}  # compiled steps reused across folds (see train_fold)
     if cfg.split_mode == "holdout":

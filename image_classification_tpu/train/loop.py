@@ -448,18 +448,30 @@ def train_fold(
             "fold %d SWA (%d snapshots): val %.4f/%.4f",
             fold, int(state.swa_count), swa_val["loss"], swa_val["accuracy"],
         )
-        if swa_val["accuracy"] > best_val_acc:
-            best_val_acc = swa_val["accuracy"]
-            best_variables = {
-                "params": jax.tree.map(np.asarray, swa_state.params)
-            }
+        swa_wins_acc = swa_val["accuracy"] > best_val_acc
+        swa_wins_loss = cfg.save_best_loss and swa_val["loss"] < best_val_loss
+        if swa_wins_acc or swa_wins_loss:
+            swa_host = {"params": jax.tree.map(np.asarray, swa_state.params)}
             if swa_state.batch_stats is not None:
-                best_variables["batch_stats"] = jax.tree.map(
+                swa_host["batch_stats"] = jax.tree.map(
                     np.asarray, swa_state.batch_stats
                 )
+        if swa_wins_acc:
+            best_val_acc = swa_val["accuracy"]
+            best_variables = swa_host
             ckpt.save_best(
-                cfg.model_save_path, fold, best_variables["params"],
-                best_variables.get("batch_stats"), best_val_acc,
+                cfg.model_save_path, fold, swa_host["params"],
+                swa_host.get("batch_stats"), best_val_acc,
+                val_loss=swa_val["loss"],
+            )
+        if swa_wins_loss:
+            # keep the loss tier consistent with the acc tier: SWA competes
+            # in both (example.py:380-390 saved best-score AND best-loss)
+            best_val_loss = swa_val["loss"]
+            ckpt.save_best(
+                cfg.model_save_path, fold, swa_host["params"],
+                swa_host.get("batch_stats"), swa_val["accuracy"],
+                val_loss=swa_val["loss"], metric="loss",
             )
 
     if lr_monitor.lrs:

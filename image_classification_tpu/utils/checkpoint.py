@@ -180,7 +180,7 @@ def select_best_fold(
     val_loss wins (from the best-loss tier)."""
     sign = 1.0 if metric == "acc" else -1.0
     key = "val_acc" if metric == "acc" else "val_loss"
-    best_fold, best_score = folds[0], -float("inf")
+    best_fold, best_score = None, -float("inf")
     for fold in folds:
         meta = load_metadata(best_path(save_dir, fold, metric))
         if key not in meta:
@@ -188,6 +188,14 @@ def select_best_fold(
         score = sign * float(meta[key])
         if score > best_score:
             best_fold, best_score = fold, score
+    if best_fold is None:
+        raise FileNotFoundError(
+            f"no fold checkpoint under {save_dir!r} carries {key!r} "
+            f"(folds {folds}, tier {metric!r}) — was the run saved with "
+            f"save_best_loss enabled?" if metric == "loss" else
+            f"no fold checkpoint under {save_dir!r} carries {key!r} "
+            f"(folds {folds})"
+        )
     return best_fold, sign * best_score
 
 

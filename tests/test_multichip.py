@@ -218,7 +218,10 @@ def test_pallas_block_mlp_shard_map_dp(monkeypatch):
     bundle_1 = create_model(cfg)
     assert bundle_1.module.block_mlp_impl == "xla"
     tx = build_optimizer(cfg, cfg.lr)
-    variables = bundle_1.init(jax.random.key(0))
+    # init the SHARDED bundle: batch-1 init on the default device is
+    # incompatible with a shard_map'd module — regression for the
+    # init_module twin (factory.ModelBundle.init)
+    variables = bundle_sh.init(jax.random.key(0))
     state = create_train_state(variables, tx, use_ema=False)
     rng = np.random.default_rng(3)
     batch_np = {
