@@ -24,9 +24,20 @@ SWA is supported: ``swa_update`` vmaps over the stacked state, the BN
 refresh (`previous/V3-efb2/train_advanced_v3.0.py:505-507`) runs stacked
 over every fold's train loader, and the SWA candidate replaces a fold's
 best checkpoint only where it validates better — same semantics as the
-sequential path. Remaining limitations (explicit errors): no progressive
-resizing, no plateau schedule (their per-fold LR/shape divergence doesn't
-vmap). Weighted-loss class weights are EXACT per fold: the
+sequential path.
+
+The plateau schedule (`previous/V1-effb0/train.py:203-206`) is supported:
+K independent host-side ``PlateauScheduler``s step on each fold's own
+metric, and the resulting per-fold LRs are injected as ONE (K,) vector into
+the stacked ``inject_hyperparams`` leaf (vmap turns the scalar LR
+hyperparameter into a per-fold array, so folds diverge freely). The
+schedulers' internals ride the resume sidecar like the sequential path's.
+
+Progressive resizing is supported: the stage size is a function of the
+epoch only (identical across folds), so the stacked program recompiles per
+stage exactly like the sequential per-size step cache.
+
+Weighted-loss class weights are EXACT per fold: the
 (K, num_classes) weight stack is a vmapped operand of the train step
 (a closure can't vary across vmap).
 """
@@ -47,9 +58,11 @@ from image_classification_tpu.train.loop import (
     FoldResult,
     _append_metrics,
     build_lr_schedule,
+    progressive_size,
 )
 from image_classification_tpu.train.loss import build_criterion
-from image_classification_tpu.train.optim import build_optimizer
+from image_classification_tpu.train.optim import build_optimizer, set_learning_rate
+from image_classification_tpu.train.schedule import PlateauScheduler
 from image_classification_tpu.train.step import (
     make_bn_update_step,
     make_eval_step,
@@ -61,15 +74,6 @@ from image_classification_tpu.utils.metrics import macro_f1, per_class_f1
 from image_classification_tpu.utils.profiler import StepTimer
 
 logger = logging.getLogger("ic_tpu")
-
-
-def _check_supported(cfg) -> None:
-    for flag, name in (
-        (cfg.progressive_resizing, "progressive_resizing"),
-        (cfg.schedule == "plateau", "schedule='plateau'"),
-    ):
-        if flag:
-            raise ValueError(f"fold_parallel does not support {name}")
 
 
 def _stack_batches(batches: list[dict], keys: tuple[str, ...]) -> dict:
@@ -158,7 +162,6 @@ def train_k_fold_parallel(
     from image_classification_tpu.parallel.mesh import FOLD_AXIS, fold_batch_sharding
     from image_classification_tpu.parallel.shardings import fold_state_shardings
 
-    _check_supported(cfg)
     splits = list(splits)  # stratified_kfold yields lazily
     n_folds = len(splits)
     mesh_folds = mesh.shape.get(FOLD_AXIS, 1)
@@ -178,6 +181,14 @@ def train_k_fold_parallel(
 
     schedule = build_lr_schedule(cfg, steps_per_epoch)
     tx = build_optimizer(cfg, schedule)
+    plateaus = (
+        [
+            PlateauScheduler(cfg.lr, cfg.plateau_factor, cfg.plateau_patience)
+            for _ in range(n_folds)
+        ]
+        if cfg.schedule == "plateau"
+        else None
+    )
     criterion = build_criterion(cfg, class_counts=None)
     fold_weights = None
     if cfg.use_weighted_loss:
@@ -213,26 +224,43 @@ def train_k_fold_parallel(
     state = jax.device_put(state, s_shard)
     b_shard = fold_batch_sharding(mesh)
 
-    if fold_weights is None:
-        train_step = jax.jit(
-            jax.vmap(make_train_step(bundle, cfg, tx, criterion)),
-            donate_argnums=(0,),
-            out_shardings=(s_shard, None),
-        )
-    else:
-        def _step_with_weights(fstate, batch, key, weights):
-            crit = build_criterion(cfg, class_weights=weights)
-            return make_train_step(bundle, cfg, tx, crit)(fstate, batch, key)
-
-        _jit_w = jax.jit(
-            jax.vmap(_step_with_weights),
-            donate_argnums=(0,),
-            out_shardings=(s_shard, None),
-        )
+    if fold_weights is not None:
         fold_weights = jax.device_put(
             fold_weights, NamedSharding(mesh, P(FOLD_AXIS))
         )
-        train_step = lambda s, b, k: _jit_w(s, b, k, fold_weights)
+
+    # Per-size step cache: progressive resizing changes the training input
+    # size between stages (loop.py:progressive_size) — the size is a
+    # function of the epoch only, so it is identical across folds and the
+    # stacked program recompiles per stage exactly like the sequential one.
+    step_cache: dict = {}
+
+    def train_step_for(epoch: int):
+        size = progressive_size(cfg, epoch)
+        if size not in step_cache:
+            stage_cfg = cfg.replace(image_size=size)
+            if fold_weights is None:
+                step_cache[size] = jax.jit(
+                    jax.vmap(make_train_step(bundle, stage_cfg, tx, criterion)),
+                    donate_argnums=(0,),
+                    out_shardings=(s_shard, None),
+                )
+            else:
+                def _step_with_weights(fstate, batch, key, weights):
+                    crit = build_criterion(cfg, class_weights=weights)
+                    return make_train_step(bundle, stage_cfg, tx, crit)(
+                        fstate, batch, key
+                    )
+
+                _jit_w = jax.jit(
+                    jax.vmap(_step_with_weights),
+                    donate_argnums=(0,),
+                    out_shardings=(s_shard, None),
+                )
+                step_cache[size] = lambda s, b, k, _j=_jit_w: _j(
+                    s, b, k, fold_weights
+                )
+        return step_cache[size]
     eval_step = jax.jit(jax.vmap(make_eval_step(bundle, cfg, use_ema=cfg.ema_eval)))
     swa_step = jax.jit(jax.vmap(swa_update), out_shardings=s_shard)
 
@@ -258,6 +286,11 @@ def train_k_fold_parallel(
                 float(x) for x in resumed_host.get("best_val_loss", best_val_loss)
             ]
             patience = list(resumed_host.get("patience", patience))
+            if plateaus is not None and resumed_host.get("plateau"):
+                # scheduler internals; the injected (K,) LR leaf itself is
+                # already inside the restored opt_state
+                for p, d in zip(plateaus, resumed_host["plateau"]):
+                    p.load_state_dict(d)
             logger.info("fold-parallel: resumed at epoch %d", start_epoch)
             # reload on-disk best checkpoints so FoldResult carries them even
             # if no post-resume epoch improves
@@ -284,6 +317,7 @@ def train_k_fold_parallel(
     for epoch in range(start_epoch, cfg.epochs):
         for t in train_loaders:
             t.set_epoch(epoch)
+        train_step = train_step_for(epoch)
         timer = StepTimer()
         losses, accs = [], []
         iters = [iter(t) for t in train_loaders]
@@ -383,6 +417,24 @@ def train_k_fold_parallel(
                     _best_job()
             if patience[k] < cfg.patience:
                 stop = False
+        # plateau step BEFORE the epoch checkpoint (loop.py parity): each
+        # fold's scheduler sees its own metric; the K new LRs are injected
+        # as one (K,) vector into the stacked hyperparams leaf.
+        if plateaus is not None:
+            mkey = "train_acc" if cfg.plateau_metric == "train_acc" else "val_acc"
+            new_lrs = np.asarray(
+                [
+                    p.step(histories[k][-1][mkey])
+                    for k, p in enumerate(plateaus)
+                ],
+                np.float32,
+            )
+            state = state.replace(
+                opt_state=set_learning_rate(state.opt_state, new_lrs)
+            )
+            # re-commit: the rewritten LR leaf is a fresh host array and must
+            # rejoin the fold-sharded state (no-op for the untouched leaves)
+            state = jax.device_put(state, s_shard)
         logger.info(
             "fold-parallel epoch %d: %.1f img/s (all folds), duty %.1f%%",
             epoch + 1, perf["images_per_sec"], 100 * perf["duty_cycle"],
@@ -397,6 +449,11 @@ def train_k_fold_parallel(
                 "best_val_acc": best_val_acc,
                 "best_val_loss": best_val_loss,
                 "patience": patience,
+                "plateau": (
+                    [p.state_dict() for p in plateaus]
+                    if plateaus is not None
+                    else None
+                ),
             }
             if cfg.async_checkpoint:
                 writer.submit(

@@ -86,6 +86,19 @@ def build_lr_schedule(cfg, steps_per_epoch: int):
     return warmup_cosine_schedule(cfg.lr, warmup, total, cfg.min_lr)
 
 
+def progressive_size(cfg, epoch: int) -> tuple[int, int]:
+    """Training input size for ``epoch`` under progressive resizing
+    (`config.py:12` flag): earlier epochs train at smaller (even-rounded)
+    fractions of ``image_size``; the final stage is always the full size."""
+    if not cfg.progressive_resizing:
+        return tuple(cfg.image_size)
+    scales = cfg.progressive_scales
+    idx = min(len(scales) - 1, epoch * len(scales) // max(1, cfg.epochs))
+    h = int(round(cfg.image_size[0] * scales[idx] / 2)) * 2
+    w = int(round(cfg.image_size[1] * scales[idx] / 2)) * 2
+    return (h, w)
+
+
 def evaluate(eval_step, state: TrainState, loader) -> dict:
     # accumulate on device; one host fetch at the end (per-batch float()
     # would force a sync per batch and serialize the eval stream)
@@ -188,14 +201,7 @@ def train_fold(
     step_cache: dict[tuple[int, int], Any] = shared["step_cache"]
 
     def train_step_for(epoch: int):
-        if cfg.progressive_resizing:
-            scales = cfg.progressive_scales
-            idx = min(len(scales) - 1, epoch * len(scales) // max(1, cfg.epochs))
-            h = int(round(cfg.image_size[0] * scales[idx] / 2)) * 2
-            w = int(round(cfg.image_size[1] * scales[idx] / 2)) * 2
-            size = (h, w)
-        else:
-            size = tuple(cfg.image_size)
+        size = progressive_size(cfg, epoch)
         if size not in step_cache:
             stage_cfg = cfg.replace(image_size=size)
             step_cache[size] = jax.jit(

@@ -179,14 +179,128 @@ def test_fold_parallel_resume_exact_continuation(dataset):
         assert r.best_val_acc == pytest.approx(s.best_val_acc, abs=1e-6)
 
 
-def test_fold_parallel_rejects_unsupported(dataset):
-    from image_classification_tpu.train.foldpar import train_k_fold_parallel
+def test_fold_parallel_plateau_matches_sequential(dataset):
+    """schedule='plateau': K host-side PlateauSchedulers step on each fold's
+    own val metric and inject a (K,) LR vector into the stacked
+    inject_hyperparams leaf — trajectories must match the sequential path
+    (which injects a scalar per fold)."""
+    from image_classification_tpu.train.kfold import train_k_fold
 
     root = dataset
-    cfg = _cfg(root, fold_parallel=True, progressive_resizing=True)
+    kw = dict(
+        schedule="plateau", plateau_patience=0, plateau_factor=0.5, epochs=3
+    )
+    seq = train_k_fold(_cfg(root, output_dir=f"{root}/out_pseq",
+                            model_save_path=f"{root}/models_pseq", **kw))
     mesh = build_mesh(MeshSpec(data=2, model=2, fold=2))
-    with pytest.raises(ValueError, match="progressive_resizing"):
-        train_k_fold_parallel(cfg, [(None, None), (None, None)], None, mesh)
+    par = train_k_fold(
+        _cfg(root, fold_parallel=True, output_dir=f"{root}/out_ppar",
+             model_save_path=f"{root}/models_ppar", **kw),
+        mesh=mesh,
+    )
+    for s, p in zip(seq, par):
+        assert len(s.history) == len(p.history) == 3
+        for hs, hp in zip(s.history, p.history):
+            np.testing.assert_allclose(
+                hs["train_loss"], hp["train_loss"], rtol=0.02, atol=0.02
+            )
+            np.testing.assert_allclose(
+                hs["val_acc"], hp["val_acc"], rtol=0, atol=0.021
+            )
+
+
+def test_fold_parallel_plateau_injection_is_per_fold(dataset):
+    """The (K,) LR vector written by set_learning_rate must act per fold
+    under the vmapped step: LR 0 freezes fold 0's params while fold 1
+    (LR > 0) moves."""
+    import numpy as np
+
+    from image_classification_tpu.models.factory import create_model
+    from image_classification_tpu.parallel.mesh import fold_batch_sharding
+    from image_classification_tpu.train.foldpar import init_fold_states
+    from image_classification_tpu.train.loss import build_criterion
+    from image_classification_tpu.train.optim import (
+        build_optimizer,
+        set_learning_rate,
+    )
+    from image_classification_tpu.train.step import make_train_step
+    from image_classification_tpu.train.train_state import create_train_state
+
+    root = dataset
+    cfg = _cfg(root, schedule="plateau", use_ema=False)
+    mesh = build_mesh(MeshSpec(data=2, model=2, fold=2))
+    bundle = create_model(cfg)
+    tx = build_optimizer(cfg, cfg.lr)
+    stacked_vars = init_fold_states(cfg, bundle, mesh, 2)
+    state = jax.vmap(lambda v: create_train_state(v, tx, use_ema=False))(
+        jax.tree.map(jnp.asarray, stacked_vars)
+    )
+    s_shard = fold_state_shardings(state, mesh)
+    state = jax.device_put(state, s_shard)
+    state = state.replace(
+        opt_state=set_learning_rate(
+            state.opt_state, np.asarray([0.0, cfg.lr], np.float32)
+        )
+    )
+    state = jax.device_put(state, s_shard)
+
+    step = jax.jit(
+        jax.vmap(make_train_step(bundle, cfg, tx, build_criterion(cfg))),
+        out_shardings=(s_shard, None),
+    )
+    rng = np.random.default_rng(0)
+    b_shard = fold_batch_sharding(mesh)
+    batch = {
+        "image": jax.device_put(
+            rng.integers(
+                0, 256, size=(2, cfg.batch_size, *cfg.native_size, 3)
+            ).astype(np.uint8),
+            b_shard,
+        ),
+        "label": jax.device_put(
+            rng.integers(0, cfg.num_classes, size=(2, cfg.batch_size)).astype(
+                np.int32
+            ),
+            b_shard,
+        ),
+    }
+    keys = jnp.stack([jax.random.key(1), jax.random.key(2)])
+    before = jax.tree.map(np.asarray, state.params)
+    new_state, _ = step(state, batch, keys)
+    after = jax.tree.map(np.asarray, new_state.params)
+    leaf_b = jax.tree.leaves(before)[0]
+    leaf_a = jax.tree.leaves(after)[0]
+    np.testing.assert_array_equal(leaf_a[0], leaf_b[0])  # fold 0: lr 0
+    assert not np.allclose(leaf_a[1], leaf_b[1])  # fold 1: lr > 0
+
+
+def test_fold_parallel_progressive_matches_sequential(dataset):
+    """progressive_resizing: the per-stage input size is epoch-dependent but
+    fold-independent, so the stacked path caches one vmapped step per size
+    (like the sequential step cache) and must reproduce its trajectories."""
+    from image_classification_tpu.train.kfold import train_k_fold
+
+    root = dataset
+    kw = dict(
+        progressive_resizing=True, progressive_scales=(0.5, 1.0), epochs=2
+    )
+    seq = train_k_fold(_cfg(root, output_dir=f"{root}/out_gseq",
+                            model_save_path=f"{root}/models_gseq", **kw))
+    mesh = build_mesh(MeshSpec(data=2, model=2, fold=2))
+    par = train_k_fold(
+        _cfg(root, fold_parallel=True, output_dir=f"{root}/out_gpar",
+             model_save_path=f"{root}/models_gpar", **kw),
+        mesh=mesh,
+    )
+    for s, p in zip(seq, par):
+        assert len(s.history) == len(p.history) == 2
+        for hs, hp in zip(s.history, p.history):
+            np.testing.assert_allclose(
+                hs["train_loss"], hp["train_loss"], rtol=0.02, atol=0.02
+            )
+            np.testing.assert_allclose(
+                hs["val_acc"], hp["val_acc"], rtol=0, atol=0.021
+            )
 
 
 def test_fold_parallel_swa_matches_sequential(dataset):
