@@ -129,7 +129,7 @@ def bench_infer(jax, cfg, n_batches: int = 20, n_models: int = 2) -> float:
     forward = make_forward_views(bundle, cfg, tta_num_views(cfg, tta))
     variables = [bundle.init(jax.random.key(10 + i)) for i in range(n_models)]
 
-    b = cfg.batch_size * cfg.val_batch_multiplier
+    b = cfg.batch_size * cfg.infer_batch_multiplier
     rng = np.random.default_rng(3)
     images = jax.device_put(
         rng.integers(0, 256, size=(b, *cfg.native_size, 3)).astype(np.uint8)

@@ -75,7 +75,7 @@ def cmd_train(args) -> None:
     test_source = build_source(cfg, test_manifest, cfg.test_dir)
     test_loader = DataLoader(
         test_source, test_manifest,
-        batch_size=cfg.batch_size * cfg.val_batch_multiplier,
+        batch_size=cfg.batch_size * cfg.infer_batch_multiplier,
         sampler=SequentialSampler(len(test_manifest)), pad_last=True,
         device_cache=device_cache_wanted(cfg, test_source),
     )
@@ -150,7 +150,7 @@ def cmd_predict(args) -> None:
     source = build_source(cfg, test_manifest, cfg.test_dir)
     loader = DataLoader(
         source, test_manifest,
-        batch_size=cfg.batch_size * cfg.val_batch_multiplier,
+        batch_size=cfg.batch_size * cfg.infer_batch_multiplier,
         sampler=SequentialSampler(len(test_manifest)), pad_last=True,
         device_cache=device_cache_wanted(cfg, source),
     )

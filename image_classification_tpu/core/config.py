@@ -167,7 +167,14 @@ class Config:
 
     # ------------------------------------------------------------- training
     batch_size: int = 32
-    val_batch_multiplier: int = 2       # reference `train_advanced_v4.py:618`
+    # The reference validates at 2x the train batch (`train_advanced_v4.py:618`,
+    # a GPU-memory bound). Batch size is semantics-free for validation (masked
+    # sums); 4x measured +66% eval throughput on TPU (tools/bench_eval.py:
+    # 1568 vs 943 img/s), so the TPU default is 4. TTA-ensemble inference is
+    # the opposite: its 4-view stack already multiplies the forward batch, and
+    # 4x there measured SLOWER (186.5 vs 202.9 img/s) — it keeps its own 2x.
+    val_batch_multiplier: int = 4
+    infer_batch_multiplier: int = 2
     epochs: int = 20
     # "kfold": stratified K-fold CV (`train_advanced_v4.py:572-575`).
     # "holdout": ONE stratified train/val split of `val_fraction` — the V3.1
