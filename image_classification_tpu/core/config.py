@@ -338,6 +338,16 @@ class Config:
             raise ValueError(f"unknown split_mode {self.split_mode!r}")
         if not 0.0 < self.val_fraction < 1.0:
             raise ValueError("val_fraction must be in (0, 1)")
+        if self.progressive_resizing:
+            scales = tuple(self.progressive_scales)
+            if not scales or scales[-1] != 1.0:
+                # Eval/TTA always run at full image_size; a final stage below
+                # 1.0 would silently train every late epoch at a different
+                # resolution than evaluation.
+                raise ValueError(
+                    "progressive_scales must be non-empty and end with 1.0 "
+                    f"(got {scales!r}) so the final stage trains at full size"
+                )
         return self
 
 

@@ -61,7 +61,11 @@ from image_classification_tpu.train.loop import (
     progressive_size,
 )
 from image_classification_tpu.train.loss import build_criterion
-from image_classification_tpu.train.optim import build_optimizer, set_learning_rate
+from image_classification_tpu.train.optim import (
+    build_optimizer,
+    get_learning_rate,
+    set_learning_rate,
+)
 from image_classification_tpu.train.schedule import PlateauScheduler
 from image_classification_tpu.train.step import (
     make_bn_update_step,
@@ -286,11 +290,26 @@ def train_k_fold_parallel(
                 float(x) for x in resumed_host.get("best_val_loss", best_val_loss)
             ]
             patience = list(resumed_host.get("patience", patience))
-            if plateaus is not None and resumed_host.get("plateau"):
-                # scheduler internals; the injected (K,) LR leaf itself is
-                # already inside the restored opt_state
-                for p, d in zip(plateaus, resumed_host["plateau"]):
-                    p.load_state_dict(d)
+            if plateaus is not None:
+                if resumed_host.get("plateau"):
+                    # scheduler internals; the injected (K,) LR leaf itself
+                    # is already inside the restored opt_state
+                    for p, d in zip(plateaus, resumed_host["plateau"]):
+                        p.load_state_dict(d)
+                else:
+                    # Pre-plateau-sidecar checkpoint: seed the schedulers
+                    # from the restored opt_state's injected LR so the first
+                    # p.step() does not undo an already-applied reduction.
+                    lr_leaf = get_learning_rate(state.opt_state)
+                    if lr_leaf is not None:
+                        lrs = np.asarray(lr_leaf).reshape(-1)
+                        for k, p in enumerate(plateaus):
+                            p.lr = float(lrs[k if lrs.size > 1 else 0])
+                        logger.warning(
+                            "fold-parallel resume: checkpoint has no plateau "
+                            "sidecar; seeded scheduler LRs from opt_state %s",
+                            [p.lr for p in plateaus],
+                        )
             logger.info("fold-parallel: resumed at epoch %d", start_epoch)
             # reload on-disk best checkpoints so FoldResult carries them even
             # if no post-resume epoch improves

@@ -95,9 +95,35 @@ def set_learning_rate(opt_state, lr: float):
             if hasattr(node, "_fields"):  # namedtuple
                 return type(node)(*children)
             return children
+        if isinstance(node, dict):
+            # optax.multi_transform keeps per-label states in a dict
+            # (inner_states) — recurse so plateau LR reaches the injected
+            # hyperparams even when freeze_stages wraps the chain.
+            return {k: visit(v) for k, v in node.items()}
         return node
 
     return visit(opt_state)
+
+
+def get_learning_rate(opt_state):
+    """Read the injected learning-rate leaf out of an inject_hyperparams opt
+    state (plateau mode). Returns the raw leaf (scalar, or (K,) for the
+    fold-parallel stacked state) or None when no injected LR exists."""
+    found = []
+
+    def visit(node):
+        if hasattr(node, "hyperparams") and "learning_rate" in node.hyperparams:
+            found.append(node.hyperparams["learning_rate"])
+            return
+        if isinstance(node, tuple):
+            for c in node:
+                visit(c)
+        elif isinstance(node, dict):
+            for c in node.values():
+                visit(c)
+
+    visit(opt_state)
+    return found[0] if found else None
 
 
 def _with_freeze(core: optax.GradientTransformation, cfg) -> optax.GradientTransformation:
