@@ -16,6 +16,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     epochs, folds, n_train = 1, 2, 35551
     preset = None  # optional JSON preset (e.g. configs/v1_effb0.json)
+    hard = False  # hard benchmark task (synthetic_hard.py) instead of easy
+    spec_overrides: dict = {}
     overrides: dict = {}
     for a in sys.argv[1:]:
         k, v = a.split("=")
@@ -27,6 +29,10 @@ def main() -> None:
             n_train = int(v)
         elif k == "config":
             preset = v
+        elif k == "hard":
+            hard = v.lower() in ("1", "true", "yes")
+        elif k.startswith("task."):  # HardTaskSpec knob, e.g. task.signal=0.4
+            spec_overrides[k[5:]] = json.loads(v)
         else:  # generic Config override, e.g. gradient_accumulation_steps=1
             try:
                 overrides[k] = json.loads(v)
@@ -42,16 +48,36 @@ def main() -> None:
     from image_classification_tpu.train.kfold import train_k_fold
     from image_classification_tpu.utils.logging import setup_logging
 
-    root = os.path.abspath("demo_data")
-    marker = os.path.join(root, f".done_{n_train}")
     t0 = time.time()
-    if not os.path.exists(marker):
-        print(f"generating synthetic dataset ({n_train} images)...")
-        make_synthetic_dataset(
-            root, n_train=n_train, n_test=200, num_classes=44,
-            native_size=(60, 80), seed=0,
+    if hard:
+        from image_classification_tpu.data.synthetic_hard import (
+            HardTaskSpec,
+            make_hard_synthetic_dataset,
         )
-        open(marker, "w").write("ok")
+
+        spec = HardTaskSpec(**spec_overrides)
+        tag = "_".join(
+            f"{k}{v}" for k, v in sorted(spec_overrides.items())
+        ) or "default"
+        root = os.path.abspath(f"demo_data_hard_{tag}")
+        marker = os.path.join(root, f".done_{n_train}")
+        if not os.path.exists(marker):
+            print(f"generating HARD synthetic dataset ({n_train} images)...")
+            make_hard_synthetic_dataset(
+                root, n_train=n_train, n_test=2000, spec=spec,
+                native_size=(60, 80), seed=0,
+            )
+            open(marker, "w").write("ok")
+    else:
+        root = os.path.abspath("demo_data")
+        marker = os.path.join(root, f".done_{n_train}")
+        if not os.path.exists(marker):
+            print(f"generating synthetic dataset ({n_train} images)...")
+            make_synthetic_dataset(
+                root, n_train=n_train, n_test=200, num_classes=44,
+                native_size=(60, 80), seed=0,
+            )
+            open(marker, "w").write("ok")
     print(f"dataset ready in {time.time()-t0:.1f}s")
 
     base: dict = {}
