@@ -31,23 +31,34 @@ from image_classification_tpu.aug import randaug as randaug_ops
 from image_classification_tpu.core import prng
 
 
-def _warp_impl(cfg) -> str:
-    """Demote the Pallas warp to the XLA form on non-trivial meshes —
-    pallas_call has no SPMD partitioning rule, so under a sharded batch dim
-    XLA would all-gather the images (same policy as block_mlp,
-    models/factory.py)."""
+def _warp_impl(cfg, mesh=None) -> tuple[str, Any]:
+    """(impl, shard_mesh) for the fused warp. Same mesh policy as block_mlp
+    (models/factory.py): data-parallel-only meshes keep the Pallas kernel
+    via jax.shard_map (per-shard rows, no collectives — the warp is
+    per-image independent); tensor-parallel / fold meshes demote to the XLA
+    form, which GSPMD shards cleanly (pallas_call itself has no SPMD
+    partitioning rule)."""
     if getattr(cfg, "warp_impl", "xla") != "pallas":
-        return "xla"
-    from image_classification_tpu.models.factory import _multi_device
+        return "xla", None
+    from image_classification_tpu.models.factory import _dp_only, _multi_device
 
-    return "xla" if _multi_device(cfg) else "pallas"
+    if mesh is not None:
+        if mesh.devices.size == 1:
+            return "pallas", None
+        if _dp_only(mesh):
+            return "pallas", mesh
+        return "xla", None
+    return ("xla" if _multi_device(cfg) else "pallas"), None
 
 
-def aug_configs_from(cfg) -> dict:
-    """Build the per-stage static configs from the framework Config."""
+def aug_configs_from(cfg, mesh=None) -> dict:
+    """Build the per-stage static configs from the framework Config.
+    ``mesh``: the concrete training Mesh when known (see _warp_impl)."""
+    warp_impl, warp_mesh = _warp_impl(cfg, mesh)
     return {
         "geometry": geom.GeometryCfg(
-            warp_impl=_warp_impl(cfg),
+            warp_impl=warp_impl,
+            shard_mesh=warp_mesh,
             rrc_scale=tuple(cfg.rrc_scale),
             rrc_ratio=tuple(cfg.rrc_ratio),
             hflip_prob=cfg.hflip_prob,
@@ -161,12 +172,25 @@ def eval_preprocess(
     mean: tuple[float, float, float] = (0.485, 0.456, 0.406),
     std: tuple[float, float, float] = (0.229, 0.224, 0.225),
     dtype: Any = jnp.float32,
+    round_uint8: bool = True,
 ) -> jnp.ndarray:
     """Resize + Normalize val/test path (`dataset.py:242-256`).
+
+    ``round_uint8`` reproduces albumentations' A.Resize semantics: cv2
+    resizes the *uint8* image (rounding each output pixel to uint8) before
+    Normalize. Rounding the float resize output matches cv2's fixed-point
+    uint8 path on ~94% of pixels exactly (the rest differ by 1 from cv2's
+    11-bit coefficient quantization), which keeps submission argmax
+    bit-stable against the reference on identical checkpoints
+    (tests/test_infer_parity.py). Integers 0-255 are exact in bf16, so the
+    rounding is dtype-safe. Set False for the pure-float convention.
 
     ``dtype`` is the pipeline compute dtype: pass bf16 to halve HBM traffic
     through the resize + normalize (and the TTA views downstream) — on the
     N-fold x 4-view ensemble this is the inference-throughput bottleneck."""
     x = images_u8.astype(dtype)
-    x = resize_bilinear(x, image_size)
+    if tuple(x.shape[1:3]) != tuple(image_size):
+        x = resize_bilinear(x, image_size)
+        if round_uint8:
+            x = jnp.clip(jnp.round(x), 0.0, 255.0)
     return normalize(x, mean, std)

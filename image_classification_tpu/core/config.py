@@ -103,6 +103,12 @@ class Config:
     norm_stats: str = "imagenet"        # "imagenet" | "dataset"
     mean: tuple[float, float, float] = (0.485, 0.456, 0.406)
     std: tuple[float, float, float] = (0.229, 0.224, 0.225)
+    # Round the eval/TTA resize output back to uint8 before Normalize —
+    # albumentations A.Resize operates on the uint8 image (`dataset.py:
+    # 242-256`), and matching it keeps submissions bit-stable against
+    # reference checkpoints (tests/test_infer_parity.py). False = pure
+    # float convention.
+    eval_resize_uint8: bool = True
 
     # --------------------------------------------------------------- model
     model_name: str = "convnext_base"
@@ -153,8 +159,9 @@ class Config:
     # Bilinear-warp lowering for the device-side geometric augmentation:
     # "xla" = two MXU contractions with an HBM (B, P, H*C) intermediate;
     # "pallas" = fused ops/warp.py kernel, intermediate stays in VMEM (the
-    # profiled (B, 67600, 180) relayout copy disappears). Demoted to xla on
-    # multi-device meshes (no SPMD rule) and off-TPU.
+    # profiled (B, 67600, 180) relayout copy disappears). On data-parallel-
+    # only meshes the kernel runs per-shard under jax.shard_map; demoted to
+    # xla on tp/fold meshes (no SPMD rule for pallas_call) and off-TPU.
     warp_impl: str = "xla"
     # ConvNeXt 2x2/2 stage-downsample lowering: "conv" = nn.Conv (XLA conv
     # emitter, channel-major layout preference); "matmul" = W-fold reshape +

@@ -46,13 +46,16 @@ def make_train_step(
     cfg,
     tx: optax.GradientTransformation,
     criterion: Callable,
+    mesh=None,
 ) -> Callable:
     """Build ``train_step(state, batch, base_key) -> (state, metrics)``.
 
     ``batch`` is a dict with 'image' uint8 (B, h, w, 3) and 'label' int32
     (B,), already device-put with the batch dim sharded over the mesh.
+    ``mesh``: the concrete training Mesh when known — on data-parallel-only
+    meshes the Pallas warp stays enabled via shard_map (aug/pipeline.py).
     """
-    aug = aug_configs_from(cfg)
+    aug = aug_configs_from(cfg, mesh=mesh)
     mix_cfg = MixCfg(
         mixup_alpha=cfg.mixup_alpha,
         cutmix_alpha=cfg.cutmix_alpha,
@@ -175,7 +178,7 @@ def make_eval_step(bundle, cfg, use_ema: bool = True) -> Callable:
         params = state.eval_params(use_ema=use_ema and cfg.use_ema)
         images = eval_preprocess(
             batch["image"], tuple(cfg.image_size), tuple(cfg.mean),
-            tuple(cfg.std), dtype=dtype,
+            tuple(cfg.std), dtype=dtype, round_uint8=cfg.eval_resize_uint8,
         )
         variables = {"params": params}
         if bundle.has_batch_stats:
@@ -212,7 +215,7 @@ def make_bn_update_step(bundle, cfg) -> Callable:
     def bn_step(params, batch_stats, batch):
         images = eval_preprocess(
             batch["image"], tuple(cfg.image_size), tuple(cfg.mean),
-            tuple(cfg.std), dtype=dtype,
+            tuple(cfg.std), dtype=dtype, round_uint8=cfg.eval_resize_uint8,
         )
         _, updates = bundle.module.apply(
             {"params": params, "batch_stats": batch_stats},
@@ -239,7 +242,7 @@ def make_eval_views(cfg, tta: Callable | None = None) -> Callable:
     def views(images_u8: jnp.ndarray) -> jnp.ndarray:
         x = eval_preprocess(
             images_u8, tuple(cfg.image_size), tuple(cfg.mean),
-            tuple(cfg.std), dtype=dtype,
+            tuple(cfg.std), dtype=dtype, round_uint8=cfg.eval_resize_uint8,
         )
         if tta is None:
             return x
