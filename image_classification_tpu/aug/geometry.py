@@ -158,23 +158,34 @@ _MXU_WARP_MAX_SRC_PIXELS = 128 * 128
 
 
 def sample_image(
-    img: jnp.ndarray, coords_yx: jnp.ndarray, impl: str = "xla"
+    img: jnp.ndarray, coords_yx: jnp.ndarray, impl: str = "xla", shard_mesh=None
 ) -> jnp.ndarray:
     """Dispatch bilinear sampling to the MXU formulation for small source
     images (the hot path: native 60x80 decode size) or the generic gather.
     The MXU form contracts the longer source axis first so the HBM-resident
     (B, P, rest) intermediate — the formulation's dominant traffic — is as
     small as possible. ``impl="pallas"`` routes to the fused VMEM-resident
-    kernel (ops/warp.py) when available on this backend."""
+    kernel (ops/warp.py) when available on this backend; with ``shard_mesh``
+    set (data-parallel-only meshes) the kernel runs per-shard under
+    jax.shard_map instead of demoting to the XLA form."""
     B, H, W, C = img.shape
     if impl == "pallas":
         from image_classification_tpu.ops.warp import (
             warp_pallas,
             warp_pallas_available,
+            warp_pallas_sharded,
         )
 
         if warp_pallas_available(img.shape):
-            return warp_pallas(img, coords_yx)
+            if (
+                shard_mesh is not None
+                and B % shard_mesh.shape["data"] == 0
+            ):
+                return warp_pallas_sharded(img, coords_yx, shard_mesh)
+            if shard_mesh is None:
+                return warp_pallas(img, coords_yx)
+            # mesh present but rows not shardable (e.g. trace-time batch 1):
+            # fall through to the XLA form, which GSPMD handles.
     if H * W <= _MXU_WARP_MAX_SRC_PIXELS:
         if H <= W:
             return bilinear_gather_mxu_xfirst(img, coords_yx)
@@ -487,6 +498,10 @@ class GeometryCfg(NamedTuple):
     scale_limit: float = 0.2
     rotate_limit: float = 30.0
     distortion: DistortionCfg = DistortionCfg()
+    # Concrete Mesh on data-parallel-only runs: the Pallas warp runs
+    # per-shard under jax.shard_map (ops/warp.py warp_pallas_sharded)
+    # instead of demoting to the XLA form. None = direct call.
+    shard_mesh: object = None
 
 
 def geometric_augment(
@@ -514,4 +529,6 @@ def geometric_augment(
     homog = jnp.concatenate([src_xy, jnp.ones_like(src_xy[..., :1])], axis=-1)
     native_xy = jnp.einsum("bij,bhwj->bhwi", T, homog)
     coords_yx = jnp.stack([native_xy[..., 1], native_xy[..., 0]], axis=-1)
-    return sample_image(images, coords_yx, impl=cfg.warp_impl)
+    return sample_image(
+        images, coords_yx, impl=cfg.warp_impl, shard_mesh=cfg.shard_mesh
+    )

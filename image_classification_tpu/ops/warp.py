@@ -110,9 +110,40 @@ def warp_pallas(
     return out.reshape(B, Ho, Wo, C)
 
 
+def interpret_forced() -> bool:
+    """CPU-test hook: run the kernel in interpreter mode off-TPU (same
+    contract as ops/block_mlp.py)."""
+    return bool(os.environ.get("IC_TPU_WARP_INTERPRET"))
+
+
 def warp_pallas_available(img_shape: tuple[int, ...]) -> bool:
     if os.environ.get("IC_TPU_NO_PALLAS"):
         return False
     B, H, W, C = img_shape
-    # one image must fit in VMEM alongside the chunk workspaces
-    return pallas_available() and C <= 4 and H * W <= 128 * 128
+    if C > 4 or H * W > 128 * 128:
+        # one image must fit in VMEM alongside the chunk workspaces
+        return False
+    return pallas_available() or interpret_forced()
+
+
+def warp_pallas_sharded(
+    img: jnp.ndarray, coords_yx: jnp.ndarray, mesh
+) -> jnp.ndarray:
+    """Data-parallel shard_map wrapper: batch rows sharded on the mesh's
+    "data" axis, each shard runs the kernel on its local images. Bitwise
+    identical to the single-device kernel (the warp is per-image
+    independent; all randomness stays in the caller's coord computation,
+    which GSPMD shards the normal way). Callers guarantee
+    B % mesh.shape['data'] == 0 (check_batch_divisible upstream)."""
+    from jax.sharding import PartitionSpec as P
+
+    def _local(img_l, coords_l):
+        return warp_pallas(img_l, coords_l, interpret=interpret_forced())
+
+    return jax.shard_map(
+        _local,
+        mesh=mesh,
+        in_specs=(P("data"), P("data")),
+        out_specs=P("data"),
+        check_vma=False,
+    )(img, coords_yx)

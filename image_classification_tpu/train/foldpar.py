@@ -245,14 +245,20 @@ def train_k_fold_parallel(
             stage_cfg = cfg.replace(image_size=size)
             if fold_weights is None:
                 step_cache[size] = jax.jit(
-                    jax.vmap(make_train_step(bundle, stage_cfg, tx, criterion)),
+                    jax.vmap(
+                        make_train_step(
+                            bundle, stage_cfg, tx, criterion, mesh=mesh
+                        )
+                    ),
                     donate_argnums=(0,),
                     out_shardings=(s_shard, None),
                 )
             else:
                 def _step_with_weights(fstate, batch, key, weights):
                     crit = build_criterion(cfg, class_weights=weights)
-                    return make_train_step(bundle, stage_cfg, tx, crit)(
+                    return make_train_step(
+                        bundle, stage_cfg, tx, crit, mesh=mesh
+                    )(
                         fstate, batch, key
                     )
 

@@ -205,7 +205,7 @@ def train_fold(
         if size not in step_cache:
             stage_cfg = cfg.replace(image_size=size)
             step_cache[size] = jax.jit(
-                make_train_step(bundle, stage_cfg, tx, criterion),
+                make_train_step(bundle, stage_cfg, tx, criterion, mesh=mesh),
                 donate_argnums=(0,),
             )
         return step_cache[size]
