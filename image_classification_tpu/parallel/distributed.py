@@ -42,7 +42,16 @@ def initialize() -> None:
     )
     if not wants_multihost or jax.distributed.is_initialized():
         return
-    jax.distributed.initialize()
+    # jax's own cluster auto-detection covers TPU pods / k8s / SLURM but
+    # NOT the generic env-var contract — pass JAX_NUM_PROCESSES /
+    # JAX_PROCESS_ID through explicitly so any launcher that exports them
+    # (including tests/test_multihost_live.py) works.
+    num = env.get("JAX_NUM_PROCESSES")
+    pid = env.get("JAX_PROCESS_ID")
+    jax.distributed.initialize(
+        num_processes=int(num) if num else None,
+        process_id=int(pid) if pid else None,
+    )
     logger.info(
         "jax.distributed initialized: process %d/%d",
         jax.process_index(), jax.process_count(),
