@@ -103,6 +103,10 @@ class Config:
     norm_stats: str = "imagenet"        # "imagenet" | "dataset"
     mean: tuple[float, float, float] = (0.485, 0.456, 0.406)
     std: tuple[float, float, float] = (0.229, 0.224, 0.225)
+    # One-time bf16 cast of f32 params in predict_ensemble (halves the
+    # per-forward HBM parameter traffic on the TTA-ensemble path; math
+    # identical — flax casts params to compute dtype at use anyway).
+    infer_cast_params: bool = True
     # Round the eval/TTA resize output back to uint8 before Normalize —
     # albumentations A.Resize operates on the uint8 image (`dataset.py:
     # 242-256`), and matching it keeps submissions bit-stable against

@@ -27,6 +27,40 @@ from image_classification_tpu.train.step import (
 logger = logging.getLogger("ic_tpu")
 
 
+def _cast_inference_params(variables: dict, cfg) -> dict:
+    """One-time bf16 cast of the float32 parameter leaves for inference.
+
+    With ``compute_dtype=bfloat16`` every flax layer casts its params to
+    bf16 at use anyway (the math is identical), but the cast re-reads the
+    f32 master copy from HBM on every forward — ~350 MB/forward for
+    ConvNeXt-B vs ~175 MB pre-cast. The N-fold x 4-view TTA ensemble runs
+    2N forwards per batch, so halving parameter traffic is a pure win on
+    the inference path (no optimizer needs the f32 masters here).
+
+    Only >=2-D backbone leaves (conv/matmul kernels — >99.9% of the bytes)
+    are cast. Excluded, so the math stays bit-identical
+    (tests/test_infer_precast.py):
+    - 1-D vectors (LN scale/bias, BN stats): the fused block ops run LN
+      statistics in f32;
+    - classifier heads (``head_fc``, ``aux_head*``): they compute in f32
+      by design (scoring-path exactness, models/convnext.py:306).
+    Disable with ``infer_cast_params=false``."""
+    if cfg.compute_dtype != "bfloat16" or not cfg.infer_cast_params:
+        return variables
+    import jax.numpy as jnp
+    import jax.tree_util as jtu
+
+    def cast(path, a):
+        name = jtu.keystr(path)
+        if "head_fc" in name or "aux_head" in name:
+            return a
+        if hasattr(a, "dtype") and a.dtype == jnp.float32 and a.ndim >= 2:
+            return a.astype(jnp.bfloat16)
+        return a
+
+    return jtu.tree_map_with_path(cast, variables)
+
+
 def predict_ensemble(
     bundles: Sequence[Any],
     variables_list: Sequence[dict],
@@ -38,6 +72,7 @@ def predict_ensemble(
     if not bundles:
         logger.error("no models available for prediction")
         return [], np.array([]), np.array([])
+    variables_list = [_cast_inference_params(v, cfg) for v in variables_list]
     tta = get_tta(cfg)
     n_views = tta_num_views(cfg, tta)
     # The preprocessed TTA-view tensor is built ONCE per batch and shared by
