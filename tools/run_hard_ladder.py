@@ -31,16 +31,16 @@ STAGES = {
     # a single 50% holdout (same val size as the reference's 2-fold).
     "v4": ["epochs=16", "folds=2", "patience=6"],
     "v4_long": ["epochs=30", "patience=10", "split_mode=holdout",
-                "val_fraction=0.5"],
+                "val_fraction=0.5", "save_state_every=0"],
     "v3_1": ["config=configs/v3_1.json", "epochs=12", "folds=2",
-             "swa_start_epoch=8", "patience=8"],
+             "swa_start_epoch=8", "patience=8", "save_state_every=0"],
     "v1": ["config=configs/v1_effb0.json", "epochs=12", "folds=2"],
     # Ablations: V4 recipe, same holdout split, one knob off each.
     "abl_noema": ["epochs=30", "patience=10", "split_mode=holdout",
-                  "val_fraction=0.5", "use_ema=false"],
+                  "val_fraction=0.5", "use_ema=false", "save_state_every=0"],
     "abl_nomix": ["epochs=30", "patience=10", "split_mode=holdout",
                   "val_fraction=0.5", "mixup_alpha=0.0", "cutmix_alpha=0.0",
-                  "mix_prob=0.0"],
+                  "mix_prob=0.0", "save_state_every=0"],
 }
 
 
