@@ -41,6 +41,21 @@ STAGES = {
     "abl_nomix": ["epochs=30", "patience=10", "split_mode=holdout",
                   "val_fraction=0.5", "mixup_alpha=0.0", "cutmix_alpha=0.0",
                   "mix_prob=0.0", "save_state_every=0"],
+    # V1-recipe ablations — the reference's own documented effects in a
+    # regime where from-scratch accuracy discriminates: imbalance handling
+    # lifts min-class F1 (`progress.md:391-393`), and the aug stack buys
+    # the invariances the hard task's geometric/color nuisances demand.
+    "abl_v1_nosampler": ["config=configs/v1_effb0.json", "epochs=12",
+                         "folds=2", "use_sampler=false",
+                         "oversample_min_samples=0", "save_state_every=0"],
+    "abl_v1_noaug": ["config=configs/v1_effb0.json", "epochs=12", "folds=2",
+                     "hflip_prob=0.0", "ssr_prob=0.0", "rotate_limit=0.0",
+                     "color_jitter_prob=0.0", "save_state_every=0"],
+    # Wall-clock-faithful V4 budget: the reference's 5 h x 79 img/s
+    # (`README.md:73-75`, BASELINE.md) ~= 1.4M images ~= 80 epochs of the
+    # 17.8k-image holdout train split.
+    "v4_80": ["epochs=80", "patience=20", "split_mode=holdout",
+              "val_fraction=0.5", "save_state_every=0"],
 }
 
 
