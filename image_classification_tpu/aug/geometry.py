@@ -171,6 +171,7 @@ def sample_image(
     B, H, W, C = img.shape
     if impl == "pallas":
         from image_classification_tpu.ops.warp import (
+            interpret_forced,
             warp_pallas,
             warp_pallas_available,
             warp_pallas_sharded,
@@ -183,7 +184,7 @@ def sample_image(
             ):
                 return warp_pallas_sharded(img, coords_yx, shard_mesh)
             if shard_mesh is None:
-                return warp_pallas(img, coords_yx)
+                return warp_pallas(img, coords_yx, interpret=interpret_forced())
             # mesh present but rows not shardable (e.g. trace-time batch 1):
             # fall through to the XLA form, which GSPMD handles.
     if H * W <= _MXU_WARP_MAX_SRC_PIXELS:

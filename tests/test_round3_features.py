@@ -164,10 +164,14 @@ def test_warp_impl_plumbing_and_mesh_demotion():
     with pytest.raises(ValueError):
         Config(warp_impl="bogus").validate()
     cfg = Config(warp_impl="pallas", mesh_data=1, mesh_model=1).validate()
-    assert _warp_impl(cfg) == "pallas"
+    # round 4: _warp_impl returns (impl, shard_mesh)
+    assert _warp_impl(cfg) == ("pallas", None)
     assert aug_configs_from(cfg)["geometry"].warp_impl == "pallas"
-    # non-trivial mesh: demoted (pallas_call has no SPMD partitioning rule)
+    # non-trivial mesh, no concrete Mesh given: demoted (tp-capable GSPMD
+    # path; dp-only meshes keep pallas via shard_map — test_warp_sharded)
     cfg_mesh = Config(warp_impl="pallas", mesh_data=4, mesh_model=2).validate()
-    assert _warp_impl(cfg_mesh) == "xla"
+    assert _warp_impl(cfg_mesh) == ("xla", None)
     # default stays xla
-    assert _warp_impl(Config(mesh_data=1, mesh_model=1).validate()) == "xla"
+    assert _warp_impl(Config(mesh_data=1, mesh_model=1).validate()) == (
+        "xla", None,
+    )
