@@ -104,7 +104,10 @@ def _collect_best(log: str) -> dict:
     if hist:
         try:
             best["max_val_acc"] = max(h.get("val_acc", 0.0) for h in hist)
-            best["max_macro_f1"] = max(h.get("macro_f1", 0.0) for h in hist)
+            best["max_macro_f1"] = max(h.get("val_macro_f1", 0.0) for h in hist)
+            best["max_min_class_f1"] = max(
+                h.get("val_min_class_f1", 0.0) for h in hist
+            )
         except (TypeError, ValueError):
             pass
     return best
