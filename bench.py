@@ -123,11 +123,18 @@ def bench_infer(jax, cfg, n_batches: int = 20, n_models: int = 2) -> float:
         tta_num_views,
     )
 
+    from image_classification_tpu.infer.predict import _cast_inference_params
+
     bundle = create_model(cfg)
     tta = get_tta(cfg)
     views_fn = make_eval_views(cfg, tta)
     forward = make_forward_views(bundle, cfg, tta_num_views(cfg, tta))
-    variables = [bundle.init(jax.random.key(10 + i)) for i in range(n_models)]
+    # mirror predict_ensemble: one-time bf16 kernel pre-cast (halves the
+    # per-forward parameter HBM traffic; bit-identical, infer/predict.py)
+    variables = [
+        _cast_inference_params(bundle.init(jax.random.key(10 + i)), cfg)
+        for i in range(n_models)
+    ]
 
     b = cfg.batch_size * cfg.infer_batch_multiplier
     rng = np.random.default_rng(3)

@@ -25,6 +25,8 @@ import jax
 import jax.numpy as jnp
 from jax.ad_checkpoint import checkpoint_name
 
+from image_classification_tpu.ops.gelu import gelu_erf_free
+
 from image_classification_tpu.models.layers import (
     DropPath,
     PallasDWConv,
@@ -197,7 +199,13 @@ class ConvNeXtBlock(nn.Module):
             x = x.reshape(-1, shape4[-1])
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         x = nn.Dense(4 * self.dim, dtype=self.dtype, name="mlp_fc1")(x)
-        x = jax.nn.gelu(x, approximate=self.gelu_approximate)
+        if self.gelu_approximate:
+            x = jax.nn.gelu(x, approximate=True)
+        else:
+            # exact GELU without XLA's erf expansion (ops/gelu.py — the
+            # same A&S math the fused kernel uses; measured +win on the
+            # stage-3 tail, docs/PERF_NOTES.md round 4)
+            x = gelu_erf_free(x)
         x = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(x)
         gamma = self.param(
             "gamma", nn.initializers.constant(self.layer_scale_init), (self.dim,)

@@ -33,8 +33,12 @@ class DropPath(nn.Module):
 
 
 def gelu_exact(x: jnp.ndarray) -> jnp.ndarray:
-    """erf-based GELU, matching torch.nn.GELU's default."""
-    return jax.nn.gelu(x, approximate=False)
+    """erf-based GELU, matching torch.nn.GELU's default — computed via the
+    A&S erf (ops/gelu.py) instead of XLA's erf expansion (measured VPU win,
+    identical to ~1.5e-7)."""
+    from image_classification_tpu.ops.gelu import gelu_erf_free
+
+    return gelu_erf_free(x)
 
 
 def global_avg_pool(x: jnp.ndarray) -> jnp.ndarray:
