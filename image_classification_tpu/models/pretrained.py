@@ -376,3 +376,63 @@ def load_checkpoint_into_variables(
         new_params = new_target
     out["params"] = new_params
     return out
+
+
+# --------------------------------------------------------------------------
+# ConvNeXt: our flax tree -> timm keys (inverse of import_convnext)
+# --------------------------------------------------------------------------
+
+def export_convnext(
+    params: dict, depths: tuple[int, ...], dims: tuple[int, ...]
+) -> dict[str, np.ndarray]:
+    """flax ConvNeXt params -> timm-keyed torch-layout state dict.
+
+    Exact inverse of :func:`import_convnext` (round-trip tested,
+    tests/test_pretrained.py). Lets checkpoints trained here be consumed by
+    the reference's timm-based eval (`testdata.py:140-159` loads
+    ``model_state_dict``-wrapped .pth files), and provides real checkpoint
+    files to exercise the ``pretrained=true`` import path end-to-end when
+    no downloaded weights exist (tools/export_timm_checkpoint.py)."""
+
+    def inv_conv(w):  # flax HWIO -> torch OIHW
+        return np.transpose(np.asarray(w, np.float32), (3, 2, 0, 1))
+
+    def inv_lin(w):  # flax (in, out) -> torch (out, in)
+        return np.transpose(np.asarray(w, np.float32), (1, 0))
+
+    def g(*path):
+        node = params
+        for p in path:
+            node = node[p]
+        return np.asarray(node, np.float32)
+
+    sd: dict[str, np.ndarray] = {}
+    sd["stem.0.weight"] = inv_conv(g("stem_conv", "kernel"))
+    sd["stem.0.bias"] = g("stem_conv", "bias")
+    sd["stem.1.weight"] = g("stem_norm", "scale")
+    sd["stem.1.bias"] = g("stem_norm", "bias")
+    for i, depth in enumerate(depths):
+        if i > 0:
+            sd[f"stages.{i}.downsample.0.weight"] = g(f"downsample{i}_norm", "scale")
+            sd[f"stages.{i}.downsample.0.bias"] = g(f"downsample{i}_norm", "bias")
+            sd[f"stages.{i}.downsample.1.weight"] = inv_conv(
+                g(f"downsample{i}_conv", "kernel")
+            )
+            sd[f"stages.{i}.downsample.1.bias"] = g(f"downsample{i}_conv", "bias")
+        for j in range(depth):
+            p = f"stage{i}_block{j}"
+            tp = f"stages.{i}.blocks.{j}"
+            sd[f"{tp}.conv_dw.weight"] = inv_conv(g(p, "conv_dw", "kernel"))
+            sd[f"{tp}.conv_dw.bias"] = g(p, "conv_dw", "bias")
+            sd[f"{tp}.norm.weight"] = g(p, "norm", "scale")
+            sd[f"{tp}.norm.bias"] = g(p, "norm", "bias")
+            sd[f"{tp}.mlp.fc1.weight"] = inv_lin(g(p, "mlp_fc1", "kernel"))
+            sd[f"{tp}.mlp.fc1.bias"] = g(p, "mlp_fc1", "bias")
+            sd[f"{tp}.mlp.fc2.weight"] = inv_lin(g(p, "mlp_fc2", "kernel"))
+            sd[f"{tp}.mlp.fc2.bias"] = g(p, "mlp_fc2", "bias")
+            sd[f"{tp}.gamma"] = g(p, "gamma")
+    sd["head.norm.weight"] = g("head_norm", "scale")
+    sd["head.norm.bias"] = g("head_norm", "bias")
+    sd["head.fc.weight"] = inv_lin(g("head_fc", "kernel"))
+    sd["head.fc.bias"] = g("head_fc", "bias")
+    return sd

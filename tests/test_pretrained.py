@@ -222,3 +222,21 @@ def test_vit_full_import_runs():
     assert n == len(sd) + 8
     out = m.apply({"params": new_params}, x)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_convnext_export_roundtrip():
+    """export_convnext is the exact inverse of import_convnext: a timm
+    state dict imported then exported reproduces every tensor bitwise."""
+    from image_classification_tpu.models.pretrained import export_convnext
+
+    sd = make_timm_convnext_state_dict(seed=3)
+    model = ConvNeXt(num_classes=NUM_CLASSES, depths=DEPTHS, dims=DIMS,
+                     dtype=jnp.float32)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+    sd_np = {k: v.numpy() for k, v in sd.items()}
+    params, n = import_convnext(sd_np, variables["params"])
+    assert n == len(sd)
+    back = export_convnext(params, DEPTHS, DIMS)
+    assert set(back.keys()) == set(sd_np.keys())
+    for k in sd_np:
+        np.testing.assert_array_equal(back[k], sd_np[k], err_msg=k)
