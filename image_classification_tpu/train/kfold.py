@@ -127,7 +127,13 @@ def train_k_fold(
     mesh=None,
     resume: bool = False,
     model_name: str | None = None,
+    shared: dict | None = None,
 ) -> list[FoldResult]:
+    """``shared``: optional dict carrying compiled steps across calls.
+    Reuse is gated on the full program signature (train/loop.py
+    ``program_sig``), so callers may pass one dict across *different*
+    configs — e.g. the in-process ladder runner (tools/run_hard_ladder.py)
+    — and only truly identical programs share executables."""
     if manifest is None:
         manifest = Manifest.from_csv(cfg.train_csv, num_classes=cfg.num_classes)
     logger.info(
@@ -156,7 +162,8 @@ def train_k_fold(
             save_to=os.path.join(cfg.model_save_path, "norm_stats.json"),
         )
     results: list[FoldResult] = []
-    shared: dict = {}  # compiled steps reused across folds (see train_fold)
+    if shared is None:
+        shared = {}  # compiled steps reused across folds (see train_fold)
     if cfg.split_mode == "holdout":
         # V3.1 single-split trainer (`V3.1/train_advanced_v3.2.py:539-544`):
         # oversample ultra-rare classes to >=2 pre-split so stratification

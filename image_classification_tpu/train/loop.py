@@ -39,6 +39,34 @@ from image_classification_tpu.utils.profiler import StepTimer
 logger = logging.getLogger("ic_tpu")
 
 
+# Config fields that do NOT influence any compiled program (paths, host
+# bookkeeping, init-time weight loading, host-side sampling). Everything
+# else is conservatively part of the program signature: compiled train/eval
+# steps are reused across train_fold calls — across folds AND across
+# in-process ladder stages (tools/run_hard_ladder.py) — only when every
+# program-relevant field matches, so e.g. a mixup-off ablation can never
+# silently reuse a mixup-on step. Remote XLA compiles cost minutes each
+# (docs/PERF_NOTES.md), which is what this sharing buys back.
+_HOST_ONLY_FIELDS = frozenset({
+    "train_dir", "test_dir", "train_csv", "test_csv", "submission_path",
+    "cache_dir", "use_decode_cache", "model_save_path", "output_dir",
+    "profile_dir", "log_interval", "save_state_every", "async_checkpoint",
+    "patience", "save_best_loss", "num_folds", "split_mode", "val_fraction",
+    "fold_seed", "prefetch_depth", "fold_parallel", "hbm_cache",
+    "hbm_cache_limit_mb", "pretrained", "pretrained_path", "seed",
+    "use_sampler", "oversample_min_samples",
+})
+
+
+def program_sig(cfg) -> tuple:
+    """Hashable signature of every program-relevant config field."""
+    return tuple(
+        (k, str(v))
+        for k, v in sorted(cfg.to_dict().items())
+        if k not in _HOST_ONLY_FIELDS
+    )
+
+
 @dataclass
 class FoldResult:
     fold: int
@@ -146,32 +174,19 @@ def train_fold(
     ``mesh``: the training Mesh when multi-device (lets dp-only runs keep
     the Pallas block tail via shard_map — models/factory.create_model)."""
     shared = shared if shared is not None else {}
-    if "bundle" not in shared:
-        shared["bundle"] = create_model(cfg, model_name, mesh=mesh)
-    bundle = shared["bundle"]
-    root = prng.root_key(cfg.seed)
-    fold_key = prng.fold(root, fold)
-
-    variables = bundle.init(prng.fold_name(fold_key, "init"))
-    variables = load_pretrained_into(bundle, variables, cfg)
-    n_params = sum(x.size for x in jax.tree.leaves(variables["params"]))
-    logger.info("fold %d: %s with %.2fM parameters", fold, bundle.name,
-                n_params / 1e6)
-
     steps_per_epoch = len(train_loader)
-    plateau = (
-        PlateauScheduler(cfg.lr, cfg.plateau_factor, cfg.plateau_patience)
-        if cfg.schedule == "plateau"
-        else None
-    )
     counts_matter = cfg.use_weighted_loss or cfg.use_focal_loss
     sig = (
-        bundle.name,
+        model_name,
         steps_per_epoch,
         tuple(class_counts) if (counts_matter and class_counts is not None) else None,
+        program_sig(cfg),
+        None if mesh is None else tuple(dict(mesh.shape).items()),
     )
     if shared.get("sig") != sig:
+        shared.clear()
         shared["sig"] = sig
+        shared["bundle"] = create_model(cfg, model_name, mesh=mesh)
         shared["tx"] = build_optimizer(cfg, build_lr_schedule(cfg, steps_per_epoch))
         shared["criterion"] = build_criterion(
             cfg,
@@ -181,8 +196,23 @@ def train_fold(
         )
         shared["step_cache"] = {}
         shared["eval_step"] = None
+    bundle = shared["bundle"]
     tx = shared["tx"]
     criterion = shared["criterion"]
+    root = prng.root_key(cfg.seed)
+    fold_key = prng.fold(root, fold)
+
+    variables = bundle.init(prng.fold_name(fold_key, "init"))
+    variables = load_pretrained_into(bundle, variables, cfg)
+    n_params = sum(x.size for x in jax.tree.leaves(variables["params"]))
+    logger.info("fold %d: %s with %.2fM parameters", fold, bundle.name,
+                n_params / 1e6)
+
+    plateau = (
+        PlateauScheduler(cfg.lr, cfg.plateau_factor, cfg.plateau_patience)
+        if cfg.schedule == "plateau"
+        else None
+    )
     state = create_train_state(
         variables, tx, use_ema=cfg.use_ema, use_swa=cfg.use_swa
     )

@@ -58,12 +58,78 @@ STAGES = {
               "val_fraction=0.5", "save_state_every=0"],
 }
 
+# ---------------------------------------------------------------------------
+# Pretrained-regime stages (round 5): every reference version fine-tunes
+# ImageNet-pretrained timm backbones (`train_advanced_v4.py:488-494`,
+# `V3.2/train.py:88-114`); its EMA/mixup/LR defaults are calibrated for that
+# start. With no egress, the analogue is: the v4_80 model trained on the
+# seed-0 hard draw (0.9100 val) exported to a timm-keyed .pth is the
+# "foundation"; fine-tuning runs on the DISJOINT seed-1 draw (different
+# class prototypes — the transfer is generic texture features, like
+# ImageNet -> Kaggle). Budgets are reference-ish (12-16 epochs).
+# ---------------------------------------------------------------------------
+_FOUNDATION = "demo_data_hard_default/foundation_convnext_b.pth"
+_PRE = ["seed=1", "pretrained=true", f"pretrained_path={_FOUNDATION}",
+        "save_state_every=0"]
+_HOLD = ["epochs=16", "patience=8", "split_mode=holdout", "val_fraction=0.5"]
+def _save(tag: str) -> str:
+    # Each stage keeps its own checkpoint dir so later stages never
+    # overwrite an earlier stage's best model (the seed-0 v4_80 checkpoint
+    # is the foundation source and must survive).
+    return f"model_save_path=demo_data_hard_seed1/models_{tag}"
+
+
+STAGES.update({
+    # V4 fine-tune + one-knob ablations, same 50% holdout of the seed-1 draw.
+    "pre_v4": [*_PRE, *_HOLD, _save("pre_v4")],
+    "pre_noema": [*_PRE, *_HOLD, "use_ema=false", _save("pre_noema")],
+    "pre_nomix": [*_PRE, *_HOLD, "mixup_alpha=0.0", "cutmix_alpha=0.0",
+                  "mix_prob=0.0", _save("pre_nomix")],
+    "pre_nods": [*_PRE, *_HOLD, "use_deep_supervision=false",
+                 _save("pre_nods")],
+    # From-scratch control at the identical budget/split/task.
+    "scratch16": ["seed=1", "save_state_every=0", *_HOLD,
+                  _save("scratch16")],
+    # The reference's actual protocol (train_advanced_v4.py:562-655):
+    # stratified K-fold, per-fold models, ensemble prediction (scored
+    # separately against the clean test labels via tools/score_submission.py).
+    "pre_kfold": [*_PRE, "epochs=16", "patience=8", "folds=2",
+                  _save("pre_kfold")],
+    # V1 / V3.1 rungs from a pretrained start (their own foundations are
+    # trained on the seed-0 draw by the *_found stages, exported with
+    # tools/export_timm_checkpoint.py model=... and fine-tuned here).
+    "v1_found": ["config=configs/v1_effb0.json", "epochs=40", "patience=12",
+                 "split_mode=holdout", "val_fraction=0.5",
+                 "save_state_every=0",
+                 "model_save_path=demo_data_hard_default/models_v1found"],
+    "v3_1_found": ["config=configs/v3_1.json", "epochs=40", "patience=12",
+                   "split_mode=holdout", "val_fraction=0.5",
+                   "lr=0.001", "use_swa=false",
+                   "save_state_every=0",
+                   "model_save_path=demo_data_hard_default/models_v31found"],
+    "pre_v1": ["config=configs/v1_effb0.json", "epochs=12", "folds=2",
+               "seed=1", "pretrained=true", "save_state_every=0",
+               "pretrained_path=demo_data_hard_default/foundation_effb0.pth",
+               _save("pre_v1")],
+    "pre_v3_1": ["config=configs/v3_1.json", "epochs=12", "folds=2",
+                 "seed=1", "pretrained=true", "swa_start_epoch=8",
+                 "patience=8", "save_state_every=0",
+                 "pretrained_path=demo_data_hard_default/foundation_effv2s.pth",
+                 _save("pre_v3_1")],
+})
+
 
 def main() -> None:
     stages = ["v4", "v3_1", "abl_noema", "abl_nomix"]
+    inprocess = False
     for a in sys.argv[1:]:
         if a.startswith("stages="):
             stages = a.split("=", 1)[1].split(",")
+        elif a.startswith("inprocess="):
+            inprocess = a.split("=", 1)[1].lower() in ("1", "true", "yes")
+    if inprocess:
+        _run_inprocess(stages)
+        return
     for stage in stages:
         args = STAGES[stage]
         log = f"/tmp/ladder_{stage}.log"
@@ -78,6 +144,45 @@ def main() -> None:
         best = _collect_best(log)
         print(json.dumps({
             "stage": stage, "rc": r.returncode,
+            "wall_min": round((time.time() - t0) / 60, 1), **best,
+        }), flush=True)
+
+
+def _run_inprocess(stages: list[str]) -> None:
+    """Run stages serially in ONE process, sharing compiled steps between
+    stages whose programs are identical (train/loop.py ``program_sig``
+    gates the reuse). Remote XLA compiles cost minutes each on this
+    platform and are NOT intercepted by the persistent cache, so e.g.
+    pre_v4 / scratch16 / pre_kfold — identical programs, different init
+    and splits — compile once instead of three times."""
+    sys.path.insert(0, REPO)
+    from tools.train_demo_tpu import run
+
+    shared: dict = {}
+    for stage in stages:
+        args = ["hard=true", "n_train=35551", *STAGES[stage]]
+        print(f"[ladder] {stage} (in-process): {' '.join(args)}", flush=True)
+        t0 = time.time()
+        try:
+            results = run(args, shared=shared)
+        except Exception as e:  # a failed stage must not kill the ladder
+            import traceback
+
+            traceback.print_exc()
+            print(json.dumps({"stage": stage, "error": repr(e)}), flush=True)
+            continue
+        best: dict = {}
+        hist = [h for r in results for h in r.history]
+        for r in results:
+            best[f"fold{r.fold}_best_acc"] = round(r.best_val_acc, 4)
+        if hist:
+            best["max_val_acc"] = max(h.get("val_acc", 0.0) for h in hist)
+            best["max_macro_f1"] = max(h.get("val_macro_f1", 0.0) for h in hist)
+            best["max_min_class_f1"] = max(
+                h.get("val_min_class_f1", 0.0) for h in hist
+            )
+        print(json.dumps({
+            "stage": stage, "rc": 0,
             "wall_min": round((time.time() - t0) / 60, 1), **best,
         }), flush=True)
 

@@ -13,13 +13,21 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main() -> None:
+def run(argv: list[str], shared: dict | None = None):
+    """Build (or reuse) the synthetic dataset and run the real K-fold
+    training path. ``shared`` optionally carries compiled steps across
+    calls (tools/run_hard_ladder.py in-process mode). Returns the
+    FoldResult list."""
     epochs, folds, n_train = 1, 2, 35551
     preset = None  # optional JSON preset (e.g. configs/v1_effb0.json)
     hard = False  # hard benchmark task (synthetic_hard.py) instead of easy
+    data_seed = 0  # hard-task generator seed == proto_seed: a different
+    # value draws a DISJOINT task (new class prototypes), used for the
+    # pretrained-regime experiments (foundation trained on seed 0,
+    # fine-tuned on seed 1).
     spec_overrides: dict = {}
     overrides: dict = {}
-    for a in sys.argv[1:]:
+    for a in argv:
         k, v = a.split("=")
         if k == "epochs":
             epochs = int(v)
@@ -27,6 +35,8 @@ def main() -> None:
             folds = int(v)
         elif k == "n_train":
             n_train = int(v)
+        elif k == "seed":
+            data_seed = int(v)
         elif k == "config":
             preset = v
         elif k == "hard":
@@ -56,16 +66,17 @@ def main() -> None:
         )
 
         spec = HardTaskSpec(**spec_overrides)
-        tag = "_".join(
-            f"{k}{v}" for k, v in sorted(spec_overrides.items())
-        ) or "default"
+        parts = [f"{k}{v}" for k, v in sorted(spec_overrides.items())]
+        if data_seed != 0:
+            parts.append(f"seed{data_seed}")
+        tag = "_".join(parts) or "default"
         root = os.path.abspath(f"demo_data_hard_{tag}")
         marker = os.path.join(root, f".done_{n_train}")
         if not os.path.exists(marker):
             print(f"generating HARD synthetic dataset ({n_train} images)...")
             make_hard_synthetic_dataset(
                 root, n_train=n_train, n_test=2000, spec=spec,
-                native_size=(60, 80), seed=0,
+                native_size=(60, 80), seed=data_seed,
             )
             open(marker, "w").write("ok")
     else:
@@ -102,7 +113,11 @@ def main() -> None:
         **overrides,
     }).validate()
     setup_logging()
-    results = train_k_fold(cfg)
+    return train_k_fold(cfg, shared=shared)
+
+
+def main() -> None:
+    results = run(sys.argv[1:])
     for r in results:
         for h in r.history:
             print(json.dumps({"fold": r.fold, **h}))
