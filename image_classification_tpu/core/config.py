@@ -120,6 +120,13 @@ class Config:
     # Path to a local torch-format (or .safetensors) checkpoint to import.
     # There is no network download path; weight import is file based.
     pretrained_path: str | None = None
+    # Drop the checkpoint's classifier head on import even when its shape
+    # matches (the reference's local-weights path strips head/fc/classifier
+    # keys unconditionally, `V3.2/train.py:100-106`; timm's download path
+    # strips whenever num_classes differs). Off by default so an export ->
+    # import round trip is the identity; the pretrained-regime ladder turns
+    # it on to fine-tune with a fresh head like the reference does.
+    pretrained_strip_head: bool = False
     use_deep_supervision: bool = True   # reference `config.py:22`
     aux_weight: float = 0.4             # reference `config.py:23`
     drop_rate: float = 0.0              # reference `V3.1/config.py:72`

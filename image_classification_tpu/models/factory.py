@@ -187,7 +187,10 @@ def load_pretrained_into(bundle: ModelBundle, variables: dict, cfg) -> dict:
     from image_classification_tpu.models import pretrained as P
 
     try:
-        return P.load_checkpoint_into_variables(path, variables, bundle.name)
+        return P.load_checkpoint_into_variables(
+            path, variables, bundle.name,
+            strip_head=getattr(cfg, "pretrained_strip_head", False),
+        )
     except FileNotFoundError:
         logger.warning("pretrained checkpoint %s not found; random init", path)
         return variables

@@ -340,12 +340,25 @@ def import_efficientnet(
     return new_p, new_bs, n
 
 
+# The final-classifier keys per architecture family (what timm strips when
+# num_classes differs, and what `V3.2/train.py:100-106` strips always).
+_HEAD_KEYS = (
+    "head.fc.weight", "head.fc.bias",        # ConvNeXt
+    "classifier.weight", "classifier.bias",  # EfficientNet
+    "head.weight", "head.bias",              # ViT/DeiT
+)
+
+
 def load_checkpoint_into_variables(
-    path: str, variables: dict, model_name: str
+    path: str, variables: dict, model_name: str, strip_head: bool = False
 ) -> dict:
     """Load a torch/safetensors checkpoint file into a flax variables dict.
-    Backbone params may be nested under 'backbone' (deep supervision)."""
+    Backbone params may be nested under 'backbone' (deep supervision).
+    ``strip_head`` drops the checkpoint's classifier keys so the target's
+    (fresh) head survives."""
     sd = load_state_dict(path)
+    if strip_head:
+        sd = {k: v for k, v in sd.items() if k not in _HEAD_KEYS}
     params = variables["params"]
     nested = "backbone" in params
     target = params["backbone"] if nested else params
@@ -435,4 +448,80 @@ def export_convnext(
     sd["head.norm.bias"] = g("head_norm", "bias")
     sd["head.fc.weight"] = inv_lin(g("head_fc", "kernel"))
     sd["head.fc.bias"] = g("head_fc", "bias")
+    return sd
+
+
+# --------------------------------------------------------------------------
+# EfficientNet: our flax trees -> timm keys (inverse of import_efficientnet)
+# --------------------------------------------------------------------------
+
+def export_efficientnet(
+    params: dict, batch_stats: dict
+) -> dict[str, np.ndarray]:
+    """flax EfficientNet params + batch_stats -> timm-keyed torch-layout
+    state dict. Exact inverse of :func:`import_efficientnet` (round-trip
+    tested, tests/test_pretrained.py): block forms are recovered from the
+    parameter tree itself (conv_exp -> EdgeResidual, conv_pw+conv_dw ->
+    InvertedResidual, conv_dw only -> DepthwiseSeparable, conv_proj only ->
+    ConvBnAct), BatchNorm running stats come from ``batch_stats``."""
+
+    def inv_conv(w):  # flax HWIO -> torch OIHW
+        return np.transpose(np.asarray(w, np.float32), (3, 2, 0, 1))
+
+    def inv_lin(w):  # flax (in, out) -> torch (out, in)
+        return np.transpose(np.asarray(w, np.float32), (1, 0))
+
+    sd: dict[str, np.ndarray] = {}
+
+    def put_bn(prefix_t: str, node_p: dict, node_bs: dict) -> None:
+        sd[f"{prefix_t}.weight"] = np.asarray(node_p["scale"], np.float32)
+        sd[f"{prefix_t}.bias"] = np.asarray(node_p["bias"], np.float32)
+        sd[f"{prefix_t}.running_mean"] = np.asarray(node_bs["mean"], np.float32)
+        sd[f"{prefix_t}.running_var"] = np.asarray(node_bs["var"], np.float32)
+
+    sd["conv_stem.weight"] = inv_conv(params["stem_conv"]["kernel"])
+    put_bn("bn1", params["stem_bn"], batch_stats["stem_bn"])
+    sd["conv_head.weight"] = inv_conv(params["head_conv"]["kernel"])
+    put_bn("bn2", params["head_bn"], batch_stats["head_bn"])
+    sd["classifier.weight"] = inv_lin(params["classifier"]["kernel"])
+    sd["classifier.bias"] = np.asarray(params["classifier"]["bias"], np.float32)
+
+    blocks = sorted(
+        (int(m.group(1)), int(m.group(2)))
+        for k in params
+        if (m := re.match(r"stage(\d+)_block(\d+)$", k))
+    )
+    for s, b in blocks:
+        ours = f"stage{s}_block{b}"
+        p, bs = params[ours], batch_stats[ours]
+        tp = f"blocks.{s}.{b}"
+        if "conv_exp" in p:  # EdgeResidual (V2 fused, expand > 1)
+            sd[f"{tp}.conv_exp.weight"] = inv_conv(p["conv_exp"]["kernel"])
+            put_bn(f"{tp}.bn1", p["bn_exp"], bs["bn_exp"])
+            sd[f"{tp}.conv_pwl.weight"] = inv_conv(p["conv_proj"]["kernel"])
+            put_bn(f"{tp}.bn2", p["bn_proj"], bs["bn_proj"])
+        elif "conv_pw" in p:  # InvertedResidual
+            sd[f"{tp}.conv_pw.weight"] = inv_conv(p["conv_pw"]["kernel"])
+            put_bn(f"{tp}.bn1", p["bn_pw"], bs["bn_pw"])
+            sd[f"{tp}.conv_dw.weight"] = inv_conv(p["conv_dw"]["kernel"])
+            put_bn(f"{tp}.bn2", p["bn_dw"], bs["bn_dw"])
+            sd[f"{tp}.conv_pwl.weight"] = inv_conv(p["conv_proj"]["kernel"])
+            put_bn(f"{tp}.bn3", p["bn_proj"], bs["bn_proj"])
+        elif "conv_dw" in p:  # DepthwiseSeparableConv (expand == 1)
+            sd[f"{tp}.conv_dw.weight"] = inv_conv(p["conv_dw"]["kernel"])
+            put_bn(f"{tp}.bn1", p["bn_dw"], bs["bn_dw"])
+            sd[f"{tp}.conv_pw.weight"] = inv_conv(p["conv_proj"]["kernel"])
+            put_bn(f"{tp}.bn2", p["bn_proj"], bs["bn_proj"])
+        else:  # ConvBnAct (V2 fused, expand == 1): conv_proj/bn_proj only
+            sd[f"{tp}.conv.weight"] = inv_conv(p["conv_proj"]["kernel"])
+            put_bn(f"{tp}.bn1", p["bn_proj"], bs["bn_proj"])
+        if "se" in p:
+            sd[f"{tp}.se.conv_reduce.weight"] = inv_conv(p["se"]["reduce"]["kernel"])
+            sd[f"{tp}.se.conv_reduce.bias"] = np.asarray(
+                p["se"]["reduce"]["bias"], np.float32
+            )
+            sd[f"{tp}.se.conv_expand.weight"] = inv_conv(p["se"]["expand"]["kernel"])
+            sd[f"{tp}.se.conv_expand.bias"] = np.asarray(
+                p["se"]["expand"]["bias"], np.float32
+            )
     return sd

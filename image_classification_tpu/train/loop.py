@@ -53,7 +53,8 @@ _HOST_ONLY_FIELDS = frozenset({
     "profile_dir", "log_interval", "save_state_every", "async_checkpoint",
     "patience", "save_best_loss", "num_folds", "split_mode", "val_fraction",
     "fold_seed", "prefetch_depth", "fold_parallel", "hbm_cache",
-    "hbm_cache_limit_mb", "pretrained", "pretrained_path", "seed",
+    "hbm_cache_limit_mb", "pretrained", "pretrained_path",
+    "pretrained_strip_head", "seed",
     "use_sampler", "oversample_min_samples",
 })
 

@@ -144,6 +144,30 @@ def test_load_checkpoint_file_with_nesting(tmp_path):
     np.testing.assert_allclose(got, want, rtol=1e-6)
 
 
+def test_load_checkpoint_strip_head(tmp_path):
+    """``strip_head=True`` drops the checkpoint's classifier even when its
+    shape matches the target (`V3.2/train.py:100-106` semantics): the
+    fresh head survives, everything else imports."""
+    sd = make_timm_convnext_state_dict()
+    path = tmp_path / "ckpt.pth"
+    torch.save({"model_state_dict": sd}, path)
+    model = ConvNeXt(num_classes=NUM_CLASSES, depths=DEPTHS, dims=DIMS,
+                     dtype=jnp.float32)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+    out = load_checkpoint_into_variables(
+        str(path), variables, "convnext_custom", strip_head=True
+    )
+    # head untouched (fresh init preserved)
+    np.testing.assert_array_equal(
+        np.asarray(out["params"]["head_fc"]["kernel"]),
+        np.asarray(variables["params"]["head_fc"]["kernel"]),
+    )
+    # backbone imported
+    got = np.asarray(out["params"]["stem_conv"]["kernel"])
+    want = sd["stem.0.weight"].numpy().transpose(2, 3, 1, 0)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
 def test_vit_import_attention_parity():
     """The split of timm's fused qkv must reproduce torch's attention."""
     dim, heads, n_tok = 32, 4, 5

@@ -99,3 +99,23 @@ def test_efficientnet_import_complete(name):
         {"params": new_p, "batch_stats": new_bs}, jnp.ones((1, 64, 64, 3))
     )
     assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.parametrize("name", ["efficientnet_b0", "tf_efficientnetv2_s"])
+def test_efficientnet_export_roundtrip(name):
+    """export_efficientnet is the exact inverse of import_efficientnet: a
+    timm state dict imported then exported reproduces every tensor bitwise
+    (params AND BatchNorm running stats) — so foundations trained here are
+    consumable by the reference's timm-based scripts."""
+    from image_classification_tpu.models.pretrained import export_efficientnet
+
+    model = build_efficientnet(name, num_classes=10, dtype=jnp.float32)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)))
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    sd = make_timm_sd_from(params, batch_stats, 10)
+    new_p, new_bs, n = import_efficientnet(sd, params, batch_stats)
+    assert n == len(sd)
+    back = export_efficientnet(new_p, new_bs)
+    assert set(back.keys()) == set(sd.keys())
+    for k in sd:
+        np.testing.assert_array_equal(back[k], sd[k], err_msg=k)

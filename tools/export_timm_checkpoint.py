@@ -3,19 +3,21 @@ round-trip it back through the REAL ``pretrained=true`` import path and
 verify the weights survive exactly.
 
 Closes the "real pretrained-weight path exercised on a real checkpoint"
-gap (VERDICT r3): the environment has no downloadable timm weights, so the
-real trained ConvNeXt-B checkpoint from the hard-benchmark run is exported
-to the reference ecosystem's format (`testdata.py:140-159` consumes
-``model_state_dict``-wrapped .pth) and re-imported via
-``load_pretrained_into`` — exercising torch-file IO, key mapping, layout
-transposes, and the deep-supervision backbone nesting on real weights.
+gap (VERDICT r3): the environment has no downloadable timm weights, so
+real trained checkpoints (ConvNeXt-B from the hard-benchmark run;
+EfficientNet-B0 / EffNetV2-S foundations for the pretrained-regime
+ladder) are exported to the reference ecosystem's format
+(`testdata.py:140-159` consumes ``model_state_dict``-wrapped .pth) and
+re-imported via ``load_pretrained_into`` — exercising torch-file IO, key
+mapping, layout transposes, BatchNorm running stats, and the
+deep-supervision backbone nesting on real weights.
 
 Usage:
   JAX_PLATFORMS=cpu python tools/export_timm_checkpoint.py \
-      model_save_path=demo_data_hard_default/models fold=1 \
-      out=/tmp/convnext_b_hard.pth
+      [config=configs/v1_effb0.json] model_save_path=... fold=1 out=....pth
 """
 
+import json
 import os
 import sys
 
@@ -25,6 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
     save_path, fold, out = "demo_data_hard_default/models", 1, "/tmp/export.pth"
+    preset = None
     for a in sys.argv[1:]:
         k, v = a.split("=", 1)
         if k == "model_save_path":
@@ -33,6 +36,8 @@ def main() -> None:
             fold = int(v)
         elif k == "out":
             out = v
+        elif k == "config":
+            preset = v
 
     import jax
 
@@ -41,24 +46,43 @@ def main() -> None:
     import torch
 
     from image_classification_tpu.core.config import Config
-    from image_classification_tpu.models.convnext import CONVNEXT_CONFIGS
     from image_classification_tpu.models.factory import (
         create_model,
         load_pretrained_into,
     )
-    from image_classification_tpu.models.pretrained import export_convnext
     from image_classification_tpu.utils import checkpoint as ckpt
 
-    cfg = Config()  # V4 defaults: convnext_base + deep supervision
+    base: dict = {}
+    if preset is not None:
+        with open(preset) as f:
+            base = {k: v for k, v in json.load(f).items()
+                    if not k.startswith("_")}
+    cfg = Config.from_dict({**Config().to_dict(), **base})
     bundle = create_model(cfg)
     variables = bundle.init(jax.random.key(0))
     template = {"params": variables["params"]}
+    if "batch_stats" in variables:
+        template["batch_stats"] = variables["batch_stats"]
     tree, meta = ckpt.load_best(save_path, fold, template)
     print(f"loaded fold-{fold} best checkpoint: val_acc={meta.get('val_acc')}")
 
-    depths, dims = CONVNEXT_CONFIGS[cfg.model_name]
-    backbone = tree["params"]["backbone"]
-    sd = export_convnext(backbone, depths, dims)
+    nested = "backbone" in tree["params"]
+    params = tree["params"]["backbone"] if nested else tree["params"]
+    if "convnext" in cfg.model_name:
+        from image_classification_tpu.models.convnext import CONVNEXT_CONFIGS
+        from image_classification_tpu.models.pretrained import export_convnext
+
+        depths, dims = CONVNEXT_CONFIGS[cfg.model_name]
+        sd = export_convnext(params, depths, dims)
+    elif "efficientnet" in cfg.model_name:
+        from image_classification_tpu.models.pretrained import (
+            export_efficientnet,
+        )
+
+        bs = tree.get("batch_stats", {})
+        sd = export_efficientnet(params, bs.get("backbone", bs) if nested else bs)
+    else:
+        raise ValueError(f"no export mapping for {cfg.model_name!r}")
     torch.save(
         {"model_state_dict": {k: torch.tensor(v) for k, v in sd.items()},
          "val_acc": meta.get("val_acc"), "fold": fold},
@@ -76,11 +100,19 @@ def main() -> None:
         if not np.allclose(np.asarray(a), np.asarray(b), atol=1e-6):
             mismatches.append("/".join(str(p) for p in path))
 
+    def sub(tree_, coll):
+        t = tree_[coll]
+        return t["backbone"] if nested and "backbone" in t else t
+
     jax.tree_util.tree_map_with_path(
-        lambda p, a, b: cmp(p, a, b),
-        loaded["params"]["backbone"],
-        tree["params"]["backbone"],
+        lambda p, a, b: cmp(p, a, b), sub(loaded, "params"),
+        {"params": params}["params"],
     )
+    if "batch_stats" in tree and tree["batch_stats"]:
+        jax.tree_util.tree_map_with_path(
+            lambda p, a, b: cmp(p, a, b), sub(loaded, "batch_stats"),
+            sub(tree, "batch_stats"),
+        )
     assert not mismatches, f"round-trip mismatches: {mismatches[:5]}"
     print(
         "round-trip OK: every backbone tensor identical after "

@@ -70,7 +70,7 @@ STAGES = {
 # ---------------------------------------------------------------------------
 _FOUNDATION = "demo_data_hard_default/foundation_convnext_b.pth"
 _PRE = ["seed=1", "pretrained=true", f"pretrained_path={_FOUNDATION}",
-        "save_state_every=0"]
+        "pretrained_strip_head=true", "save_state_every=0"]
 _HOLD = ["epochs=16", "patience=8", "split_mode=holdout", "val_fraction=0.5"]
 def _save(tag: str) -> str:
     # Each stage keeps its own checkpoint dir so later stages never
@@ -108,12 +108,13 @@ STAGES.update({
                    "save_state_every=0",
                    "model_save_path=demo_data_hard_default/models_v31found"],
     "pre_v1": ["config=configs/v1_effb0.json", "epochs=12", "folds=2",
-               "seed=1", "pretrained=true", "save_state_every=0",
+               "seed=1", "pretrained=true", "pretrained_strip_head=true",
+               "save_state_every=0",
                "pretrained_path=demo_data_hard_default/foundation_effb0.pth",
                _save("pre_v1")],
     "pre_v3_1": ["config=configs/v3_1.json", "epochs=12", "folds=2",
-                 "seed=1", "pretrained=true", "swa_start_epoch=8",
-                 "patience=8", "save_state_every=0",
+                 "seed=1", "pretrained=true", "pretrained_strip_head=true",
+                 "swa_start_epoch=8", "patience=8", "save_state_every=0",
                  "pretrained_path=demo_data_hard_default/foundation_effv2s.pth",
                  _save("pre_v3_1")],
 })
