@@ -71,7 +71,7 @@ STAGES = {
 _FOUNDATION = "demo_data_hard_default/foundation_convnext_b.pth"
 _PRE = ["seed=1", "pretrained=true", f"pretrained_path={_FOUNDATION}",
         "pretrained_strip_head=true", "save_state_every=0"]
-_HOLD = ["epochs=16", "patience=8", "split_mode=holdout", "val_fraction=0.5"]
+_HOLD = ["epochs=12", "patience=8", "split_mode=holdout", "val_fraction=0.5"]
 def _save(tag: str) -> str:
     # Each stage keeps its own checkpoint dir so later stages never
     # overwrite an earlier stage's best model (the seed-0 v4_80 checkpoint
@@ -80,6 +80,12 @@ def _save(tag: str) -> str:
 
 
 STAGES.update({
+    # Foundation: the seed-0 draw at a budget the 80-ep curve shows reaches
+    # strong features (ep 48 of the r4 run = 0.826 val; a 48-ep cosine
+    # lands its LR floor there, so the landed model is better still).
+    "v4_found": ["epochs=48", "patience=48", "split_mode=holdout",
+                 "val_fraction=0.5", "save_state_every=0",
+                 "model_save_path=demo_data_hard_default/models_found"],
     # V4 fine-tune + one-knob ablations, same 50% holdout of the seed-1 draw.
     "pre_v4": [*_PRE, *_HOLD, _save("pre_v4")],
     "pre_noema": [*_PRE, *_HOLD, "use_ema=false", _save("pre_noema")],
@@ -88,12 +94,12 @@ STAGES.update({
     "pre_nods": [*_PRE, *_HOLD, "use_deep_supervision=false",
                  _save("pre_nods")],
     # From-scratch control at the identical budget/split/task.
-    "scratch16": ["seed=1", "save_state_every=0", *_HOLD,
-                  _save("scratch16")],
+    "scratch_ctrl": ["seed=1", "save_state_every=0", *_HOLD,
+                     _save("scratch_ctrl")],
     # The reference's actual protocol (train_advanced_v4.py:562-655):
     # stratified K-fold, per-fold models, ensemble prediction (scored
     # separately against the clean test labels via tools/score_submission.py).
-    "pre_kfold": [*_PRE, "epochs=16", "patience=8", "folds=2",
+    "pre_kfold": [*_PRE, "epochs=12", "patience=8", "folds=2",
                   _save("pre_kfold")],
     # V1 / V3.1 rungs from a pretrained start (their own foundations are
     # trained on the seed-0 draw by the *_found stages, exported with
@@ -118,6 +124,71 @@ STAGES.update({
                  "pretrained_path=demo_data_hard_default/foundation_effv2s.pth",
                  _save("pre_v3_1")],
 })
+
+
+# ---------------------------------------------------------------------------
+# Special (non-training) stages: checkpoint export between training stages
+# (CPU subprocess — must not touch the TPU the parent holds) and the
+# reference's ensemble-predict + clean-test scoring protocol
+# (`train_advanced_v4.py:690-712`, `testdata.py:166-173`), run in-process so
+# the TPU client is shared with the training stages.
+# ---------------------------------------------------------------------------
+_SEED1 = "demo_data_hard_seed1"
+
+
+def _export(model_save_path: str, out: str, config: str | None = None) -> dict:
+    cmd = [sys.executable, os.path.join(REPO, "tools/export_timm_checkpoint.py"),
+           f"model_save_path={model_save_path}", "fold=1", f"out={out}"]
+    if config:
+        cmd.append(f"config={config}")
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    r = subprocess.run(cmd, cwd=REPO, env=env, capture_output=True, text=True)
+    print(r.stdout[-2000:], r.stderr[-2000:] if r.returncode else "", flush=True)
+    return {"rc": r.returncode, "out": out}
+
+
+def _predict_and_score(tag: str, config: str | None = None,
+                       model_name: str = "convnext_base") -> dict:
+    """Ensemble-predict the seed-1 test set from the stage's 2 fold
+    checkpoints and score against the clean generative labels."""
+    import argparse
+
+    from image_classification_tpu import cli
+    from tools.score_submission import score
+
+    sub_path = os.path.join(REPO, _SEED1, f"submission_{tag}.csv")
+    overrides = [
+        f"model_name={model_name}",
+        f"train_dir={_SEED1}/train", f"train_csv={_SEED1}/train.csv",
+        f"test_dir={_SEED1}/test", f"test_csv={_SEED1}/sample_submission.csv",
+        f"model_save_path={_SEED1}/models_{tag}",
+        f"submission_path={sub_path}",
+        f"cache_dir={_SEED1}/.cache", "num_folds=2",
+    ]
+    args = argparse.Namespace(config=config, resume=False, folds=[1, 2],
+                              best_fold=False, metric="acc",
+                              overrides=overrides)
+    cli.cmd_predict(args)
+    result = score(sub_path, os.path.join(REPO, _SEED1, "test_labels.csv"))
+    return {"ensemble_test": result}
+
+
+SPECIAL = {
+    "export_v4": lambda: _export("demo_data_hard_default/models_found",
+                                 _FOUNDATION),
+    "export_v1": lambda: _export(
+        "demo_data_hard_default/models_v1found",
+        "demo_data_hard_default/foundation_effb0.pth",
+        config="configs/v1_effb0.json"),
+    "export_v3_1": lambda: _export(
+        "demo_data_hard_default/models_v31found",
+        "demo_data_hard_default/foundation_effv2s.pth",
+        config="configs/v3_1.json"),
+    "predict_pre_kfold": lambda: _predict_and_score("pre_kfold"),
+    "predict_pre_v1": lambda: _predict_and_score(
+        "pre_v1", config="configs/v1_effb0.json",
+        model_name="efficientnet_b0"),
+}
 
 
 def main() -> None:
@@ -161,6 +232,23 @@ def _run_inprocess(stages: list[str]) -> None:
 
     shared: dict = {}
     for stage in stages:
+        if stage in SPECIAL:
+            t0 = time.time()
+            try:
+                extra = SPECIAL[stage]()
+            except Exception as e:
+                import traceback
+
+                traceback.print_exc()
+                print(json.dumps({"stage": stage, "error": repr(e)}),
+                      flush=True)
+                continue
+            print(json.dumps({
+                "stage": stage,
+                "wall_min": round((time.time() - t0) / 60, 1),
+                **(extra or {}),
+            }), flush=True)
+            continue
         args = ["hard=true", "n_train=35551", *STAGES[stage]]
         print(f"[ladder] {stage} (in-process): {' '.join(args)}", flush=True)
         t0 = time.time()
