@@ -120,6 +120,20 @@ def create_model(cfg, model_name: str | None = None, mesh=None) -> ModelBundle:
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     kwargs["dtype"] = dtype
     if family == "convnext":
+        downsample_impl = cfg.downsample_impl
+        if cfg.fold_parallel and downsample_impl == "conv":
+            # Fold-parallel programs vmap the model over the fold axis, and
+            # jax's batching rule for strided convs merges that axis into
+            # the batch dim via reshape. On a (fold, data, model) mesh GSPMD
+            # cannot re-shard across that merge and falls back to
+            # "involuntary full rematerialization" (replicate-then-
+            # repartition) in every downsample backward. The space-to-depth
+            # matmul form (layers.patch_conv — identical params and math)
+            # vmaps natively through dot_general's batch dims, so stacked
+            # fold programs always lower downsamples as matmuls. Costs
+            # ~1.7% on a single chip (docs/PERF_NOTES.md round-3 A/B); the
+            # full-tensor copies it removes on real multi-chip dwarf that.
+            downsample_impl = "matmul"
         block_mlp_impl = cfg.block_mlp_impl
         shard_mesh = None
         if block_mlp_impl == "pallas":
@@ -139,7 +153,7 @@ def create_model(cfg, model_name: str | None = None, mesh=None) -> ModelBundle:
                 dwconv_impl=cfg.dwconv_impl, mlp_2d=cfg.mlp_2d,
                 pin_layout=cfg.pin_layout, block_remat=cfg.block_remat,
                 block_mlp_impl=block_mlp_impl,
-                downsample_impl=cfg.downsample_impl,
+                downsample_impl=downsample_impl,
                 shard_mesh=mesh_,
                 **kwargs,
             )

@@ -52,7 +52,9 @@ _HOST_ONLY_FIELDS = frozenset({
     "cache_dir", "use_decode_cache", "model_save_path", "output_dir",
     "profile_dir", "log_interval", "save_state_every", "async_checkpoint",
     "patience", "save_best_loss", "num_folds", "split_mode", "val_fraction",
-    "fold_seed", "prefetch_depth", "fold_parallel", "hbm_cache",
+    # NOT fold_parallel: it selects the downsample lowering (models/factory),
+    # so stacked and sequential programs differ.
+    "fold_seed", "prefetch_depth", "hbm_cache",
     "hbm_cache_limit_mb", "pretrained", "pretrained_path",
     "pretrained_strip_head", "seed",
     "use_sampler", "oversample_min_samples",

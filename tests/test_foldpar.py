@@ -347,3 +347,26 @@ def test_fold_parallel_swa_bn_refresh(dataset):
     for p in par:
         assert np.isfinite(p.history[-1]["train_loss"])
         assert "batch_stats" in p.best_variables
+
+
+def test_fold_parallel_selects_matmul_downsample():
+    """Stacked fold programs must lower downsamples as space-to-depth
+    matmuls: jax's vmap batching rule for strided convs merges the fold
+    axis into batch via reshape, which GSPMD on a (fold, data, model) mesh
+    can only re-shard by involuntary full rematerialization (seen at
+    downsample{1,2}_conv/reshape in the r4 dryrun). dot_general vmaps
+    through native batch dims, so the matmul form avoids the copy."""
+    from image_classification_tpu.core.config import Config
+    from image_classification_tpu.models.factory import create_model
+
+    base = dict(model_name="convnext_atto", num_classes=8,
+                use_deep_supervision=True)
+    stacked = create_model(Config(**base, fold_parallel=True).validate())
+    assert stacked.module.backbone.downsample_impl == "matmul"
+    seq = create_model(Config(**base, fold_parallel=False).validate())
+    assert seq.module.backbone.downsample_impl == "conv"
+    # an explicit matmul request is honored in both modes
+    explicit = create_model(
+        Config(**base, fold_parallel=False, downsample_impl="matmul").validate()
+    )
+    assert explicit.module.backbone.downsample_impl == "matmul"
