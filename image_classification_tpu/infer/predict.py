@@ -61,6 +61,24 @@ def _cast_inference_params(variables: dict, cfg) -> dict:
     return jtu.tree_map_with_path(cast, variables)
 
 
+def _stackable(bundles: Sequence[Any], variables_list: Sequence[dict]) -> bool:
+    """True when every ensemble member shares one module and congruent
+    variable trees (the K-fold case) — i.e. params can be stacked on a
+    leading model axis and the forward vmapped over it."""
+    if len(bundles) < 2 or len({id(b.module) for b in bundles}) != 1:
+        return False
+    import jax.tree_util as jtu
+
+    ref = jtu.tree_structure(variables_list[0])
+    ref_shapes = [x.shape for x in jtu.tree_leaves(variables_list[0])]
+    for v in variables_list[1:]:
+        if jtu.tree_structure(v) != ref:
+            return False
+        if [x.shape for x in jtu.tree_leaves(v)] != ref_shapes:
+            return False
+    return True
+
+
 def predict_ensemble(
     bundles: Sequence[Any],
     variables_list: Sequence[dict],
@@ -79,30 +97,54 @@ def predict_ensemble(
     # every fold-model; each model runs one forward over all views stacked
     # along the batch dim (train/step.py make_eval_views).
     views_fn = jax.jit(make_eval_views(cfg, tta))
-    # one compiled forward per DISTINCT module: K-fold ensembles pass the
-    # same bundle K times (cli.cmd_predict) and compiles are minutes on a
-    # remote-compile backend — fold checkpoints differ only in `variables`,
-    # which is an argument, not part of the traced program
-    fwd_cache: dict[int, Any] = {}
-    forwards = []
-    for b in bundles:
-        key = id(b.module)
-        if key not in fwd_cache:
-            fwd_cache[key] = jax.jit(make_forward_views(b, cfg, n_views))
-        forwards.append(fwd_cache[key])
     if weights is None:
         w = np.ones(len(bundles)) / len(bundles)
     else:
         w = np.asarray(weights, dtype=np.float64)
         w = w / w.sum()
+    if _stackable(bundles, variables_list):
+        # K-fold ensemble (same architecture, congruent checkpoint trees —
+        # cli.cmd_predict passes one bundle K times): stack the per-fold
+        # params on a leading model axis and vmap ONE forward over it, so
+        # M models x V views run as a single program per batch. The model
+        # axis multiplies the effective batch of every conv/matmul (better
+        # MXU tiling on the small spatial tail) and collapses M dispatches
+        # into one on a ~2 ms/dispatch remote backend. Semantics identical
+        # to the sequential loop (`train_advanced_v4.py:349-381`): weighted
+        # sum of per-model view-averaged softmax.
+        import jax.numpy as jnp
+
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *variables_list)
+        base_fwd = make_forward_views(bundles[0], cfg, n_views)
+        wv = jnp.asarray(w, jnp.float32)
+
+        @jax.jit
+        def fwd_ensemble(sv, xb):
+            probs = jax.vmap(base_fwd, in_axes=(0, None))(sv, xb)  # (M,B,C)
+            return jnp.einsum("m,mbc->bc", wv, probs)
+
+        runs = [("stacked", fwd_ensemble, stacked)]
+    else:
+        # Multi-architecture ensemble (`previous/V2-convbase/config.py:46-51`)
+        # or shape-mismatched members: one compiled forward per DISTINCT
+        # module; fold params stay an argument, not part of the program.
+        fwd_cache: dict[int, Any] = {}
+        runs = []
+        for wi, (b, variables) in enumerate(zip(bundles, variables_list)):
+            key = id(b.module)
+            if key not in fwd_cache:
+                fwd_cache[key] = jax.jit(make_forward_views(b, cfg, n_views))
+            runs.append((float(w[wi]), fwd_cache[key], variables))
     ids: list[str] = []
     all_probs: list[np.ndarray] = []
     id_iter = test_loader.batch_ids()
     for batch, batch_ids in zip(test_loader, id_iter):
         xb = views_fn(batch["image"])
         probs_dev = None
-        for wi, (fwd, variables) in enumerate(zip(forwards, variables_list)):
-            p = fwd(variables, xb) * float(w[wi])
+        for wi, fwd, variables in runs:
+            p = fwd(variables, xb)
+            if wi != "stacked":
+                p = p * wi
             probs_dev = p if probs_dev is None else probs_dev + p
         probs = np.asarray(probs_dev)  # one device->host pull per batch
         mask = np.asarray(batch["mask"])

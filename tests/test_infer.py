@@ -73,3 +73,60 @@ def test_write_submission(tmp_path):
     back = pd.read_csv(p)
     assert list(back.columns) == ["id", "predict"]
     assert back["predict"].tolist() == [3, 7]
+
+
+class _StubLoader:
+    """Minimal DataLoader stand-in: uint8 batches + masks + ids."""
+
+    def __init__(self, images: np.ndarray, batch_size: int):
+        self.images = images
+        self.bs = batch_size
+
+    def __iter__(self):
+        n = len(self.images)
+        for i in range(0, n, self.bs):
+            chunk = self.images[i : i + self.bs]
+            pad = self.bs - len(chunk)
+            if pad:
+                chunk = np.concatenate([chunk, np.zeros((pad, *chunk.shape[1:]), chunk.dtype)])
+            mask = np.arange(self.bs) < (self.bs - pad)
+            yield {"image": jnp.asarray(chunk), "mask": jnp.asarray(mask)}
+
+    def batch_ids(self):
+        n = len(self.images)
+        for i in range(0, n, self.bs):
+            yield [f"id{j}" for j in range(i, min(i + self.bs, n))]
+
+
+def test_stacked_ensemble_matches_sequential(rng, monkeypatch):
+    """The vmapped stacked-params K-fold ensemble path must produce the same
+    probabilities as the per-model sequential loop it replaces
+    (`train_advanced_v4.py:349-381` semantics)."""
+    import jax
+
+    from image_classification_tpu.infer import predict as predict_mod
+    from image_classification_tpu.models.factory import create_model
+
+    cfg = Config(
+        model_name="convnext_atto", num_classes=6, native_size=(24, 32),
+        image_size=(32, 32), use_deep_supervision=False,
+        compute_dtype="float32", tta_transforms=4,
+    ).validate()
+    bundle = create_model(cfg)
+    v1 = bundle.init(jax.random.key(1))
+    v2 = bundle.init(jax.random.key(2))
+    images = rng.integers(0, 256, size=(10, 24, 32, 3)).astype(np.uint8)
+
+    assert predict_mod._stackable([bundle, bundle], [v1, v2])
+    ids_s, preds_s, probs_s = predict_mod.predict_ensemble(
+        [bundle, bundle], [v1, v2], _StubLoader(images, 4), cfg
+    )
+    monkeypatch.setattr(predict_mod, "_stackable", lambda *a: False)
+    ids_q, preds_q, probs_q = predict_mod.predict_ensemble(
+        [bundle, bundle], [v1, v2], _StubLoader(images, 4), cfg
+    )
+    assert ids_s == ids_q
+    np.testing.assert_allclose(probs_s, probs_q, atol=2e-6)
+    np.testing.assert_array_equal(preds_s, preds_q)
+    # distinct-architecture ensembles must NOT take the stacked path
+    assert not predict_mod._stackable([bundle], [v1])
