@@ -225,3 +225,77 @@ def test_two_model_ensemble_parity(test_set):
     )
     assert np.abs(probs - ref_probs).max() < 3e-3
     np.testing.assert_array_equal(preds, ref_probs.argmax(1))
+
+
+def test_trained_exported_checkpoint_torch_parity(test_set, tmp_path):
+    """Full cross-ecosystem round trip from a REAL trained checkpoint: a
+    few AdamW steps on the flax model -> saved/reloaded through the real
+    orbax best-checkpoint path (`utils/checkpoint.py`) -> exported to a
+    timm-keyed state dict (`export_convnext`, the format
+    `testdata.py:140-159` consumes) -> the torch replica of the
+    reference's eval (`testdata.py:83-106,166-173`) runs THAT export ->
+    submission CSV byte-identical with our own predict path run from the
+    reloaded checkpoint."""
+    import optax
+
+    from image_classification_tpu.models.pretrained import export_convnext
+    from image_classification_tpu.utils import checkpoint as ckpt
+
+    cfg, bundle, loader = _our_setup(test_set, tta_transforms=0)
+    model = bundle.module
+    variables = model.init(
+        jax.random.key(11), jnp.zeros((1, *IMAGE_SIZE, 3), jnp.float32)
+    )
+    params = variables["params"]
+    tx = optax.adamw(3e-4)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def train_step(params, opt_state, x, y):
+        def loss_fn(p):
+            logits = model.apply({"params": p}, x)
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, y
+            ).mean()
+
+        grads = jax.grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state
+
+    rng = np.random.default_rng(5)
+    for _ in range(4):
+        x = jnp.asarray(
+            rng.uniform(-2, 2, size=(8, *IMAGE_SIZE, 3)).astype(np.float32)
+        )
+        y = jnp.asarray(rng.integers(0, NUM_CLASSES, size=8))
+        params, opt_state = train_step(params, opt_state, x, y)
+
+    save_dir = str(tmp_path / "models")
+    ckpt.save_best(save_dir, 1, jax.device_get(params), None, val_acc=0.5)
+    tree, meta = ckpt.load_best(save_dir, 1, {"params": params})
+    assert meta["val_acc"] == 0.5
+
+    sd_np = export_convnext(tree["params"], DEPTHS, DIMS)
+    sd = {k: torch.tensor(np.asarray(v)) for k, v in sd_np.items()}
+
+    ids, preds, probs = predict_ensemble([bundle], [tree], loader, cfg)
+    x_ref = _reference_batch(test_set["dir"], test_set["ids"])
+    ref_probs = _reference_probs([sd], x_ref, tta=False)
+    ref_preds = ref_probs.argmax(1)
+
+    # Raw-forward parity of the export mapping is exact (~7e-7 logits,
+    # measured); the visible delta here is the documented uint8-resize
+    # residue (PARITY.md §inference) amplified by a TRAINED model's
+    # sharper softmax — hence a looser bound than the random-weight tests,
+    # with argmax and the CSV bytes still required identical.
+    assert np.abs(probs - ref_probs).max() < 2e-2
+    np.testing.assert_array_equal(preds, ref_preds)
+
+    ours = os.path.join(test_set["root"], "sub_ours_export.csv")
+    theirs = os.path.join(test_set["root"], "sub_ref_export.csv")
+    write_submission(ids, preds, ours, column="predict")
+    pd.DataFrame({"id": list(ids), "predict": ref_preds}).to_csv(
+        theirs, index=False
+    )
+    with open(ours, "rb") as a, open(theirs, "rb") as b:
+        assert a.read() == b.read()
