@@ -179,6 +179,12 @@ class Config:
     # H-phase interleave + one MXU matmul (models/layers.patch_conv P=2 path;
     # bit-identical math, params unchanged). See docs/PERF_NOTES.md round 3.
     downsample_impl: str = "conv"
+    # Exact-GELU lowering on the XLA block-MLP path: "xla" = gelu_erf_free
+    # fused into the surrounding matmul epilogues; "pallas" = one elementwise
+    # custom call per direction (ops/gelu.py gelu_erf_free_pallas); "erf" =
+    # XLA's own erf expansion (round-3 baseline, for perf-ledger A/Bs).
+    # Same exact-GELU semantics in all three; docs/PERF_NOTES.md round 5.
+    gelu_impl: str = "xla"
     freeze_stages: int = 0              # reference `V3.1/...:399-403`
     ensemble_models: tuple[str, ...] = ()  # reference `previous/V2-convbase/config.py:46-51`
     ensemble_weights: tuple[float, ...] = ()
@@ -346,6 +352,8 @@ class Config:
             raise ValueError(
                 f"unknown downsample_impl {self.downsample_impl!r}"
             )
+        if self.gelu_impl not in ("xla", "pallas", "erf"):
+            raise ValueError(f"unknown gelu_impl {self.gelu_impl!r}")
         if self.block_remat not in ("none", "dots", "full"):
             raise ValueError(f"unknown block_remat {self.block_remat!r}")
         if self.hbm_cache not in ("auto", "on", "off"):

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 from jax.ad_checkpoint import checkpoint_name
 
-from image_classification_tpu.ops.gelu import gelu_erf_free
+from image_classification_tpu.ops.gelu import gelu_dispatch, gelu_erf_free
 
 from image_classification_tpu.models.layers import (
     DropPath,
@@ -92,6 +92,7 @@ class ConvNeXtBlock(nn.Module):
     layer_scale_init: float = 1e-6
     dtype: Any = jnp.bfloat16
     gelu_approximate: bool = False
+    gelu_impl: str = "xla"      # "xla" | "pallas" (ops/gelu.py)
     dwconv_impl: str = "conv"   # "conv" (lax.conv) | "shift" (see ShiftDWConv)
     mlp_2d: bool = False        # flatten (B,H,W,C)->(BHW,C) around LN+MLP
     pin_layout: bool = False    # force row-major around the dwconv
@@ -204,8 +205,9 @@ class ConvNeXtBlock(nn.Module):
         else:
             # exact GELU without XLA's erf expansion (ops/gelu.py — the
             # same A&S math the fused kernel uses; measured +win on the
-            # stage-3 tail, docs/PERF_NOTES.md round 4)
-            x = gelu_erf_free(x)
+            # stage-3 tail, docs/PERF_NOTES.md round 4). gelu_impl=pallas
+            # emits it as a single custom call instead (round-5 A/B).
+            x = gelu_dispatch(x, self.gelu_impl)
         x = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(x)
         gamma = self.param(
             "gamma", nn.initializers.constant(self.layer_scale_init), (self.dim,)
@@ -225,6 +227,7 @@ class ConvNeXt(nn.Module):
     drop_rate: float = 0.0
     dtype: Any = jnp.bfloat16
     gelu_approximate: bool = False
+    gelu_impl: str = "xla"  # "xla" | "pallas" (ops/gelu.py)
     dwconv_impl: str = "conv"
     mlp_2d: bool = False
     pin_layout: bool = False

@@ -37,3 +37,90 @@ def _gelu_erf_free_jvp(primals, tangents):
     y = _gelu_exact(xf).astype(x.dtype)
     dy = (_gelu_grad(xf) * dx.astype(jnp.float32)).astype(x.dtype)
     return y, dy
+
+
+# ---------------------------------------------------------------------------
+# Pallas elementwise path: the same exact-GELU math emitted as ONE custom
+# call per direction. Rationale (VERDICT r4 #4): the whole-model tanh A/B
+# measured +4.4% step throughput and the ledger attributed the win to
+# tanh's single-op lowering, not to erf's flop count — XLA splits the A&S
+# expansion across fusion boundaries around the stage-3 matmuls. A Pallas
+# kernel pins the whole expansion (one exp + 5-term poly) into a single
+# fused VPU pass over each tile; the bwd kernel shares the exp between the
+# erf and the Gaussian pdf exactly like the fused block kernel does.
+# Opt-in via ``gelu_impl=pallas`` (core/config.py) — measured on real TPU
+# before defaulting (docs/PERF_NOTES.md round-5 log).
+# ---------------------------------------------------------------------------
+
+
+def _gelu_interpret() -> bool:
+    import os
+
+    return bool(os.environ.get("IC_TPU_GELU_INTERPRET"))
+
+
+def _gelu_fwd_kernel(x_ref, y_ref):
+    a = x_ref[...].astype(jnp.float32)
+    y_ref[...] = _gelu_exact(a).astype(y_ref.dtype)
+
+
+def _gelu_bwd_kernel(x_ref, dy_ref, dx_ref):
+    a = x_ref[...].astype(jnp.float32)
+    dx_ref[...] = (
+        _gelu_grad(a) * dy_ref[...].astype(jnp.float32)
+    ).astype(dx_ref.dtype)
+
+
+def _run_elementwise(kernel, out_dtype, x, *rest):
+    from jax.experimental import pallas as pl
+
+    shape = x.shape
+    C = shape[-1]
+    flat = [a.reshape(-1, C) for a in (x, *rest)]
+    M = flat[0].shape[0]
+    bm = min(M, 256)
+    bc = min(C, 2048)
+    spec = pl.BlockSpec((bm, bc), lambda i, j: (i, j))
+    y = pl.pallas_call(
+        kernel,
+        grid=(pl.cdiv(M, bm), pl.cdiv(C, bc)),
+        in_specs=[spec] * len(flat),
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((M, C), out_dtype),
+        interpret=_gelu_interpret(),
+    )(*flat)
+    return y.reshape(shape)
+
+
+@jax.custom_vjp
+def gelu_erf_free_pallas(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact-erf GELU as one Pallas elementwise kernel per direction.
+
+    Same math as :func:`gelu_erf_free` (A&S erf fwd, shared-exp bwd);
+    requires a >=2-D input whose last dim is a multiple of 128 (use
+    :func:`gelu_dispatch` for automatic fallback)."""
+    return _run_elementwise(_gelu_fwd_kernel, x.dtype, x)
+
+
+def _gelu_pallas_fwd(x):
+    return _run_elementwise(_gelu_fwd_kernel, x.dtype, x), x
+
+
+def _gelu_pallas_bwd(x, dy):
+    return (_run_elementwise(_gelu_bwd_kernel, x.dtype, x, dy),)
+
+
+gelu_erf_free_pallas.defvjp(_gelu_pallas_fwd, _gelu_pallas_bwd)
+
+
+def gelu_dispatch(x: jnp.ndarray, impl: str = "xla") -> jnp.ndarray:
+    """Exact GELU with implementation selection: ``pallas`` takes the
+    single-custom-call kernel when the shape tiles (last dim % 128 == 0),
+    ``erf`` takes XLA's own erf expansion (``jax.nn.gelu`` — the round-3
+    baseline, kept for perf-ledger A/Bs), and ``xla`` (default) the
+    fused-into-XLA A&S form."""
+    if impl == "pallas" and x.ndim >= 2 and x.shape[-1] % 128 == 0:
+        return gelu_erf_free_pallas(x)
+    if impl == "erf":
+        return jax.nn.gelu(x, approximate=False)
+    return gelu_erf_free(x)

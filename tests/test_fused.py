@@ -138,3 +138,44 @@ def test_train_step_fused_vs_generic(accum):
     ):
         np.testing.assert_allclose(a, b, rtol=5e-4, atol=1e-5)
     assert jax.tree.structure(s0.opt_state) == jax.tree.structure(s1.opt_state)
+
+
+def test_pallas_gelu_matches_xla_fwd_bwd(monkeypatch):
+    """gelu_erf_free_pallas (single-custom-call kernel) vs the XLA-fused
+    gelu_erf_free: same values and gradients (interpret mode on CPU)."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from image_classification_tpu.ops import gelu as G
+
+    monkeypatch.setenv("IC_TPU_GELU_INTERPRET", "1")
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(-4, 4, size=(2, 3, 384)).astype(np.float32))
+
+    y_ref = G.gelu_erf_free(x)
+    y_pal = G.gelu_erf_free_pallas(x)
+    np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_ref), atol=1e-7)
+
+    def loss_ref(v):
+        return jnp.sum(jnp.sin(G.gelu_erf_free(v)))
+
+    def loss_pal(v):
+        return jnp.sum(jnp.sin(G.gelu_erf_free_pallas(v)))
+
+    g_ref = jax.grad(loss_ref)(x)
+    g_pal = jax.grad(loss_pal)(x)
+    np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref), atol=1e-6)
+
+    # bf16 in/out, odd row count (partial tiles)
+    xb = jnp.asarray(rng.uniform(-3, 3, size=(37, 256))).astype(jnp.bfloat16)
+    np.testing.assert_allclose(
+        np.asarray(G.gelu_erf_free_pallas(xb), dtype=np.float32),
+        np.asarray(G.gelu_erf_free(xb), dtype=np.float32), atol=1e-2)
+
+    # dispatch: non-tiling last dim falls back to the XLA path
+    small = jnp.ones((4, 100), jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(G.gelu_dispatch(small, impl="pallas")),
+        np.asarray(G.gelu_erf_free(small)))
