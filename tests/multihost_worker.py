@@ -39,9 +39,11 @@ def main() -> None:
     assert jax.local_device_count() == 2
 
     losses = run_training(data_root, n_steps=3)
+    foldpar_losses = run_training_foldpar(n_steps=3)
     if pid == 0:
         with open(out_path, "w") as f:
-            json.dump({"losses": losses, "device_count": jax.device_count()}, f)
+            json.dump({"losses": losses, "foldpar_losses": foldpar_losses,
+                       "device_count": jax.device_count()}, f)
 
 
 def run_training(data_root: str, n_steps: int) -> list:
@@ -113,6 +115,99 @@ def run_training(data_root: str, n_steps: int) -> list:
             state, {k: batch[k] for k in ("image", "label")}, jax.random.key(i)
         )
         losses.append(float(metrics["loss"]))
+    return losses
+
+
+def run_training_foldpar(n_steps: int) -> list:
+    """Phase 2: the fold-parallel mesh (fold=2 x data=2) — the same stacked
+    SPMD program as `__graft_entry__._dryrun_fold_parallel`, here spanning
+    2 OS processes x 2 local devices. Batches are seeded numpy (identical
+    on every host); arrays enter the multi-process mesh via
+    ``jax.make_array_from_callback`` so each host materializes only its
+    addressable shards. Identical under 1 process (4 local devices)."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from image_classification_tpu.core import prng
+    from image_classification_tpu.core.config import Config
+    from image_classification_tpu.models.factory import create_model
+    from image_classification_tpu.parallel.mesh import (
+        MeshSpec,
+        build_mesh,
+        fold_batch_sharding,
+    )
+    from image_classification_tpu.parallel.shardings import fold_state_shardings
+    from image_classification_tpu.train.foldpar import init_fold_states
+    from image_classification_tpu.train.loss import build_criterion
+    from image_classification_tpu.train.optim import build_optimizer
+    from image_classification_tpu.train.step import make_train_step
+    from image_classification_tpu.train.train_state import create_train_state
+
+    n_folds = 2
+    cfg = Config(
+        model_name="convnext_atto",
+        num_classes=6,
+        native_size=(24, 32),
+        image_size=(32, 32),
+        batch_size=4,
+        gradient_accumulation_steps=1,
+        use_deep_supervision=False,
+        use_ema=True,
+        compute_dtype="float32",
+        fold_parallel=True,
+    ).validate()
+    mesh = build_mesh(
+        MeshSpec(fold=n_folds, data=2, model=1), devices=jax.devices()[:4]
+    )
+
+    def to_mesh(tree, shardings):
+        return jax.tree.map(
+            lambda x, s: jax.make_array_from_callback(
+                np.shape(x), s, lambda idx, _x=x: np.asarray(_x)[idx]
+            ),
+            tree, shardings,
+        )
+
+    bundle = create_model(cfg)
+    tx = build_optimizer(cfg, cfg.lr)
+    stacked_vars = init_fold_states(cfg, bundle, mesh, n_folds)
+    state = jax.vmap(lambda v: create_train_state(v, tx, use_ema=True))(
+        jax.tree.map(jnp.asarray, stacked_vars)
+    )
+    s_shard = fold_state_shardings(state, mesh)
+    state = to_mesh(jax.tree.map(np.asarray, state), s_shard)
+    b_shard = fold_batch_sharding(mesh)
+
+    root = prng.root_key(cfg.seed)
+    step_keys = jnp.stack(
+        [prng.fold_name(prng.fold(root, k), "steps")
+         for k in range(1, n_folds + 1)]
+    )
+    # metrics come back fully REPLICATED: the vmapped per-fold loss vector
+    # is otherwise sharded over the fold axis, which spans processes — a
+    # process-local fetch of it would raise (non-addressable shards)
+    rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    step = jax.jit(
+        jax.vmap(make_train_step(bundle, cfg, tx, build_criterion(cfg))),
+        out_shardings=(s_shard, rep),
+    )
+
+    rng = np.random.default_rng(7)
+    losses = []
+    for i in range(n_steps):
+        batch = {
+            "image": rng.integers(
+                0, 256, size=(n_folds, cfg.batch_size, *cfg.native_size, 3)
+            ).astype(np.uint8),
+            "label": rng.integers(
+                0, cfg.num_classes, size=(n_folds, cfg.batch_size)
+            ).astype(np.int32),
+        }
+        gbatch = to_mesh(batch, {k: b_shard for k in batch})
+        state, metrics = step(state, gbatch, step_keys)
+        losses.append(np.asarray(metrics["loss"]).reshape(-1).tolist())
     return losses
 
 

@@ -63,7 +63,7 @@ def test_two_process_training_matches_single_process(tmp_path):
     ]
     outputs = []
     for p in procs:
-        out, _ = p.communicate(timeout=600)
+        out, _ = p.communicate(timeout=1800)
         outputs.append(out)
     for p, out in zip(procs, outputs):
         assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
@@ -75,9 +75,20 @@ def test_two_process_training_matches_single_process(tmp_path):
     assert np.isfinite(mh_losses).all()
 
     # identical program, single process, same 4-device mesh
-    from multihost_worker import run_training
+    from multihost_worker import run_training, run_training_foldpar
 
     sp_losses = run_training(data_root, n_steps=3)
     np.testing.assert_allclose(mh_losses, sp_losses, rtol=2e-5, atol=2e-6)
     # and training actually progressed
     assert mh_losses[2] != mh_losses[0]
+
+    # phase 2: fold-parallel (fold=2 x data=2) stacked program — the same
+    # mesh set the judged dryrun covers, here live across 2 OS processes
+    mh_fp = result["foldpar_losses"]
+    assert np.isfinite(mh_fp).all()
+    sp_fp = run_training_foldpar(n_steps=3)
+    np.testing.assert_allclose(mh_fp, sp_fp, rtol=2e-5, atol=2e-6)
+    # both folds progressed and differ (different init keys + batches)
+    mh_fp = np.asarray(mh_fp)
+    assert (mh_fp[2] != mh_fp[0]).all()
+    assert mh_fp[0, 0] != mh_fp[0, 1]
