@@ -93,6 +93,14 @@ STAGES.update({
                   "mix_prob=0.0", _save("pre_nomix")],
     "pre_nods": [*_PRE, *_HOLD, "use_deep_supervision=false",
                  _save("pre_nods")],
+    # EMA window matched to the budget: the reference's 0.9997 decay is
+    # calibrated for its ~21k-optimizer-step fine-tunes
+    # (`train_advanced_v4.py:628-634`); this 12-ep holdout run is 6.7k
+    # steps, where 0.9997 still carries ~13% init residue
+    # (0.9997^6660 = e^-2). 0.999 (window 1k steps, residue ~0.1%) tests
+    # the EMA *mechanism* at a window that fits the budget, separating
+    # "EMA hurts" from "this decay needs more steps than the budget has".
+    "pre_ema999": [*_PRE, *_HOLD, "ema_decay=0.999", _save("pre_ema999")],
     # From-scratch control at the identical budget/split/task.
     "scratch_ctrl": ["seed=1", "save_state_every=0", *_HOLD,
                      _save("scratch_ctrl")],
