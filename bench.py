@@ -142,16 +142,15 @@ def bench_infer(jax, cfg, n_batches: int = 20, n_models: int = 2) -> float:
         rng.integers(0, 256, size=(b, *cfg.native_size, 3)).astype(np.uint8)
     )
 
-    # mirror predict_ensemble's stacked K-fold path: params stacked on a
-    # leading model axis, ONE vmapped forward — the model axis multiplies
-    # the effective batch of every conv/matmul (infer/predict.py)
-    variables = jax.tree.map(lambda *xs: jnp.stack(xs), *variables)
-
+    # mirror predict_ensemble's K-fold path: ONE jitted program per batch,
+    # sequential in-graph loop over the fold params (vmap over a stacked
+    # model axis measured a 1.5x LOSS — conv batching reshapes the model
+    # axis into batch; docs/PERF_NOTES.md round 5)
     @jax.jit  # one dispatch per batch: shared views, both models, the mean
     def ensemble(variables, images):
         xb = views_fn(images)
-        probs = jax.vmap(forward, in_axes=(0, None))(variables, xb)
-        return jnp.mean(probs, axis=0)
+        probs = [forward(v, xb) for v in variables]
+        return jnp.mean(jnp.stack(probs), axis=0)
 
     float(jnp.sum(ensemble(variables, images)))  # compile + warm
     t0 = time.perf_counter()

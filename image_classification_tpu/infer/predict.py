@@ -104,26 +104,29 @@ def predict_ensemble(
         w = w / w.sum()
     if _stackable(bundles, variables_list):
         # K-fold ensemble (same architecture, congruent checkpoint trees —
-        # cli.cmd_predict passes one bundle K times): stack the per-fold
-        # params on a leading model axis and vmap ONE forward over it, so
-        # M models x V views run as a single program per batch. The model
-        # axis multiplies the effective batch of every conv/matmul (better
-        # MXU tiling on the small spatial tail) and collapses M dispatches
-        # into one on a ~2 ms/dispatch remote backend. Semantics identical
-        # to the sequential loop (`train_advanced_v4.py:349-381`): weighted
-        # sum of per-model view-averaged softmax.
-        import jax.numpy as jnp
-
-        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *variables_list)
+        # cli.cmd_predict passes one bundle K times): run all M models in
+        # ONE jitted program per batch — a sequential in-graph loop over
+        # the per-fold params with the weighted mean fused in. Collapses M
+        # dispatches into one on a ~2 ms/dispatch remote backend and lets
+        # XLA overlap the models' forwards. NOT vmapped: vmapping the
+        # forward over a stacked model axis measured a 1.5x LOSS on real
+        # TPU (136.7 vs 206 img/s, docs/PERF_NOTES.md round 5) — jax's
+        # conv batching rule reshapes the model axis into batch, costing a
+        # relayout around every conv. Semantics identical to the per-model
+        # loop (`train_advanced_v4.py:349-381`): weighted sum of per-model
+        # view-averaged softmax.
         base_fwd = make_forward_views(bundles[0], cfg, n_views)
-        wv = jnp.asarray(w, jnp.float32)
+        weights_f = [float(x) for x in w]
 
         @jax.jit
-        def fwd_ensemble(sv, xb):
-            probs = jax.vmap(base_fwd, in_axes=(0, None))(sv, xb)  # (M,B,C)
-            return jnp.einsum("m,mbc->bc", wv, probs)
+        def fwd_ensemble(var_list, xb):
+            total = None
+            for wi, v in zip(weights_f, var_list):
+                p = base_fwd(v, xb) * wi
+                total = p if total is None else total + p
+            return total
 
-        runs = [("stacked", fwd_ensemble, stacked)]
+        runs = [("stacked", fwd_ensemble, tuple(variables_list))]
     else:
         # Multi-architecture ensemble (`previous/V2-convbase/config.py:46-51`)
         # or shape-mismatched members: one compiled forward per DISTINCT
