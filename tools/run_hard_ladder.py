@@ -196,6 +196,9 @@ SPECIAL = {
     "predict_pre_v1": lambda: _predict_and_score(
         "pre_v1", config="configs/v1_effb0.json",
         model_name="efficientnet_b0"),
+    "predict_pre_v3_1": lambda: _predict_and_score(
+        "pre_v3_1", config="configs/v3_1.json",
+        model_name="tf_efficientnetv2_s"),
 }
 
 
